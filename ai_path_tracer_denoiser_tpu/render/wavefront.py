@@ -1,0 +1,347 @@
+"""Wavefront path tracer — one fused, jittable iteration pipeline.
+
+TPU re-design of pathtrace() (pathtrace.cu:422-528).  The reference launches
+a kernel per stage per bounce with thrust compaction in between; here a whole
+1-spp iteration is a single XLA program:
+
+  ray-gen -> [depth-0 intersect + shade + G-buffer emit] ->
+  lax.while_loop over remaining bounces (masked "compaction") -> gather.
+
+Key mapping decisions:
+  * **Stream compaction** (thrust::partition, pathtrace.cu:505) becomes an
+    alive *mask* plus an early loop exit once every lane is dead.  XLA needs
+    static shapes, and the reference's own data shows partitioning cost more
+    than it saved at 800x800 (metrics.xlsx row 3) — masking keeps lanes
+    resident in VMEM with zero data movement.
+  * **Material sorting** (pathtrace.cu:508-510) is a real argsort
+    permutation of the path state, carried through ``pixel_index``; off by
+    default exactly as in the reference.
+  * **First-bounce cache** (pathtrace.cu:466-476) caches the depth-0
+    intersection of iteration 1 in the loop carry.
+  * The bounce loop is ``lax.while_loop`` for speed or ``lax.scan`` when a
+    differentiable path is requested (reverse-mode AD can't cross
+    while_loop).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RenderOptions
+from ..ops.bsdf import scatter_ray
+from ..ops.intersect import intersect_scene
+from ..ops.rng import draw_uniforms
+from ..scene.structs import Camera, Geoms, Scene
+from .motion_blur import advance_geoms
+
+
+@dataclasses.dataclass
+class RenderLoopState:
+    """Device-resident state carried across 1-spp iterations.
+
+    Mirrors the buffers pathtraceInit allocates (pathtrace.cu:96-129):
+    ``accum`` = dev_image, ``gbuf`` = the static channels of dev_tensor
+    (normal/depth/albedo; RGB is derived from accum at assembly time),
+    ``cache_*`` = dev_intersections_cache, ``geoms`` the (possibly
+    motion-advanced) geometry.
+    """
+
+    accum: jnp.ndarray        # (N, 3) running radiance sum
+    gbuf: jnp.ndarray         # (7, N): nx, ny, nz, depth, ax, ay, az
+    geoms: Geoms
+    iteration: jnp.ndarray    # () int32 — completed iterations
+    cache_t: jnp.ndarray      # (N,)
+    cache_point: jnp.ndarray  # (N, 3)
+    cache_normal: jnp.ndarray  # (N, 3)
+    cache_mat: jnp.ndarray    # (N,) int32
+
+
+jax.tree_util.register_dataclass(
+    RenderLoopState,
+    ["accum", "gbuf", "geoms", "iteration",
+     "cache_t", "cache_point", "cache_normal", "cache_mat"], [])
+
+
+def init_render_state(scene: Scene) -> RenderLoopState:
+    w, h = scene.camera.resolution
+    n = w * h
+    return RenderLoopState(
+        accum=jnp.zeros((n, 3), jnp.float32),
+        gbuf=jnp.zeros((7, n), jnp.float32),
+        geoms=scene.geoms,
+        iteration=jnp.zeros((), jnp.int32),
+        cache_t=jnp.zeros((n,), jnp.float32),
+        cache_point=jnp.zeros((n, 3), jnp.float32),
+        cache_normal=jnp.zeros((n, 3), jnp.float32),
+        cache_mat=jnp.zeros((n,), jnp.int32),
+    )
+
+
+def generate_camera_rays(camera: Camera, iteration: jnp.ndarray,
+                         options: RenderOptions) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-pixel primary rays with optional AA jitter.
+
+    Port of generateRayFromCamera (pathtrace.cu:155-182).  The reference
+    seeds the jitter RNG with the *previous* iteration's leftover
+    remainingBounces (pathtrace.cu:162) — zero for every terminated path —
+    so we seed with depth=0, which matches every iteration but the first.
+    """
+    w, h = camera.resolution
+    n = w * h
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    x = (idx % jnp.uint32(w)).astype(jnp.float32)
+    y = (idx // jnp.uint32(w)).astype(jnp.float32)
+
+    if options.antialias:
+        u = draw_uniforms(iteration, idx, 0, 2, options.rng)
+        jx = u[0] - 0.5
+        jy = u[1] - 0.5
+    else:
+        jx = jy = jnp.zeros((n,), jnp.float32)
+
+    px = camera.pixel_length[0] * (x - w * 0.5 + jx)
+    py = camera.pixel_length[1] * (y - h * 0.5 + jy)
+    direction = (camera.view[None, :]
+                 - camera.right[None, :] * px[:, None]
+                 - camera.up[None, :] * py[:, None])
+    direction = direction / jnp.linalg.norm(direction, axis=-1, keepdims=True)
+    origin = jnp.broadcast_to(camera.position, (n, 3))
+    return origin, direction
+
+
+def _gather_material(scene: Scene, mat_id: jnp.ndarray):
+    """Gather per-ray material rows; mat_id==-1 gathers row 0 harmlessly."""
+    safe = jnp.maximum(mat_id, 0)
+    m = scene.materials
+    return dict(
+        color=m.color[safe],
+        specular_color=m.specular_color[safe],
+        has_reflective=m.has_reflective[safe],
+        has_refractive=m.has_refractive[safe],
+        index_of_refraction=m.index_of_refraction[safe],
+        emittance=m.emittance[safe],
+    )
+
+
+def _shade(scene: Scene, options: RenderOptions, iteration, isect,
+           ray_d, color, remaining):
+    """Branch-free shadeMaterial (pathtrace.cu:333-390).
+
+    Returns (new_ray_o, new_ray_d, new_color, new_remaining).
+    """
+    n = ray_d.shape[0]
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    u = draw_uniforms(iteration, idx, remaining, 2, options.rng)
+
+    alive = remaining != 0
+    hit = isect["t"] > 0.0
+    mat = _gather_material(scene, isect["material_id"])
+    emissive = mat["emittance"] > 0.0
+
+    sc_dir, sc_origin, sc_mult = scatter_ray(
+        ray_d, isect["point"], isect["normal"], mat, u[0], u[1],
+        fresnels=options.fresnels, dielectric=options.dielectric,
+        mesh_normal_view=options.mesh_normal_view)
+
+    # light hit: color *= emittance * matColor, terminate (pathtrace.cu:358-361)
+    emit_color = color * mat["color"] * mat["emittance"][:, None]
+    scatter_color = color * sc_mult
+
+    upd = alive & hit
+    new_color = jnp.where((upd & emissive)[:, None], emit_color,
+                          jnp.where(upd[:, None], scatter_color, color))
+    # miss: black + terminate (pathtrace.cu:375-377)
+    new_color = jnp.where((alive & ~hit)[:, None], 0.0, new_color)
+
+    new_remaining = jnp.where(alive & hit & ~emissive, remaining - 1,
+                              jnp.where(alive, 0, remaining))
+    new_ray_d = jnp.where((upd & ~emissive)[:, None], sc_dir, ray_d)
+    new_ray_o = jnp.where((upd & ~emissive)[:, None], sc_origin,
+                          jnp.zeros_like(sc_origin))
+    return new_ray_o, new_ray_d, new_color, new_remaining
+
+
+def _maybe_sort_by_material(options, isect_mat, alive, *arrays):
+    """Material-coherence sort (pathtrace.cu:508-510): stable argsort keyed
+    by material id, dead lanes pushed to the back."""
+    if not options.sort_material:
+        return arrays
+    key = jnp.where(alive, isect_mat, jnp.int32(2 ** 30))
+    perm = jnp.argsort(key, stable=True)
+    return tuple(a[perm] for a in arrays)
+
+
+def trace_iteration(scene: Scene, options: RenderOptions,
+                    state: RenderLoopState,
+                    differentiable: bool = False) -> RenderLoopState:
+    """One full 1-spp path-trace iteration (pathtrace.cu:422-528)."""
+    w, h = scene.camera.resolution
+    n = w * h
+    depth_max = scene.trace_depth
+    iteration = state.iteration + 1
+
+    geoms = state.geoms
+    if options.motion_blur:
+        # moveGeom every 4th iteration while iter < 3000 (pathtrace.cu:441).
+        do_move = (iteration % 4 == 0) & (iteration < 3000)
+        geoms = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(
+                do_move.reshape((1,) * new.ndim), new, old),
+            advance_geoms(geoms), geoms)
+
+    ray_o, ray_d = generate_camera_rays(scene.camera, iteration, options)
+    color = jnp.ones((n, 3), jnp.float32)
+    remaining = jnp.full((n,), depth_max, jnp.int32)
+    pixel_index = jnp.arange(n, dtype=jnp.int32)
+
+    # ---- depth 0 (peeled: G-buffer emission + first-bounce cache) ----
+    if options.cache_first_bounce:
+        fresh = intersect_scene(geoms, scene.mesh, ray_o, ray_d,
+                                ray_culling=options.ray_culling)
+        use_cache = iteration > 1
+        isect0 = dict(
+            t=jnp.where(use_cache, state.cache_t, fresh["t"]),
+            point=jnp.where(use_cache, state.cache_point, fresh["point"]),
+            normal=jnp.where(use_cache, state.cache_normal, fresh["normal"]),
+            material_id=jnp.where(use_cache, state.cache_mat, fresh["material_id"]),
+            is_inside=fresh["is_inside"],
+        )
+        cache = (isect0["t"], isect0["point"], isect0["normal"], isect0["material_id"])
+    else:
+        isect0 = intersect_scene(geoms, scene.mesh, ray_o, ray_d,
+                                 ray_culling=options.ray_culling)
+        cache = (state.cache_t, state.cache_point, state.cache_normal, state.cache_mat)
+
+    # G-buffer: normals + depth at depth 0, iteration 1 (pathtrace.cu:295-304).
+    gbuf = state.gbuf
+    if options.denoise:
+        write = (iteration == 1) & (isect0["t"] >= 0.0)
+        gbuf = gbuf.at[0:3].set(jnp.where(write[None, :],
+                                          isect0["normal"].T, gbuf[0:3]))
+        gbuf = gbuf.at[3].set(jnp.where(write, isect0["t"], gbuf[3]))
+
+    ray_o, ray_d, color, remaining = _shade(
+        scene, options, iteration, isect0, ray_d, color, remaining)
+
+    # G-buffer: albedo = throughput after the first shade (pathtrace.cu:379-387).
+    if options.denoise:
+        gbuf = gbuf.at[4:7].set(jnp.where(write[None, :], color.T, gbuf[4:7]))
+
+    ray_o, ray_d, color, remaining, pixel_index = (
+        lambda arrs: arrs)(  # keep tuple form readable
+        _maybe_sort_by_material(options, isect0["material_id"],
+                                remaining > 0,
+                                ray_o, ray_d, color, remaining, pixel_index))
+
+    # ---- remaining bounces ----
+    def bounce(carry, _=None):
+        ray_o, ray_d, color, remaining, pixel_index = carry
+        isect = intersect_scene(geoms, scene.mesh, ray_o, ray_d,
+                                ray_culling=options.ray_culling)
+        out = _shade(scene, options, iteration, isect, ray_d, color, remaining)
+        ray_o, ray_d, color, remaining = out
+        carry = _maybe_sort_by_material(options, isect["material_id"],
+                                        remaining > 0,
+                                        ray_o, ray_d, color, remaining, pixel_index)
+        return carry, None
+
+    carry = (ray_o, ray_d, color, remaining, pixel_index)
+    if depth_max > 1:
+        if differentiable:
+            carry, _ = jax.lax.scan(bounce, carry, None, length=depth_max - 1)
+        else:
+            def cond(dc):
+                d, c = dc
+                any_alive = jnp.any(c[3] > 0)
+                early = any_alive if options.stream_compaction else True
+                return (d < depth_max - 1) & early
+
+            def body(dc):
+                d, c = dc
+                c, _ = bounce(c)
+                return d + 1, c
+
+            _, carry = jax.lax.while_loop(cond, body, (jnp.int32(0), carry))
+    _, _, color, _, pixel_index = carry
+
+    # finalGather (pathtrace.cu:393-402): scatter-add by pixel index.
+    accum = state.accum.at[pixel_index].add(color)
+
+    return RenderLoopState(
+        accum=accum, gbuf=gbuf, geoms=geoms, iteration=iteration,
+        cache_t=cache[0], cache_point=cache[1], cache_normal=cache[2],
+        cache_mat=cache[3])
+
+
+def assemble_gbuffer(state: RenderLoopState, resolution: Tuple[int, int],
+                     options: RenderOptions) -> jnp.ndarray:
+    """Build the 10-channel CHW tensor (dev_tensor layout, pathtrace.cu:81-94).
+
+    ch0-2 RGB = accum / iteration, ch3-5 normal, ch6 depth, ch7-9 albedo.
+    ``flip_horizontal=True`` reproduces the reference's mirrored layout
+    (pathtrace.cu:86, 299).
+    """
+    w, h = resolution
+    it = jnp.maximum(state.iteration.astype(jnp.float32), 1.0)
+    rgb = (state.accum / it).T.reshape(3, h, w)
+    rest = state.gbuf.reshape(7, h, w)
+    tensor = jnp.concatenate([rgb, rest], axis=0)
+    if options.flip_horizontal:
+        tensor = tensor[:, :, ::-1]
+    return tensor
+
+
+def current_image(state: RenderLoopState, resolution: Tuple[int, int]) -> jnp.ndarray:
+    """(H, W, 3) average radiance so far (sendImageToPBO sans 8-bit quantize)."""
+    w, h = resolution
+    it = jnp.maximum(state.iteration.astype(jnp.float32), 1.0)
+    return (state.accum / it).reshape(h, w, 3)
+
+
+# ---------------------------------------------------------------------------
+# Top-level drivers
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("options", "differentiable"))
+def _render_jit(scene: Scene, state: RenderLoopState, options: RenderOptions,
+                num_iterations: jnp.ndarray, differentiable: bool = False):
+    def body(_, st):
+        return trace_iteration(scene, options, st, differentiable)
+    # dynamic trip count: one compilation serves any spp budget
+    return jax.lax.fori_loop(0, num_iterations, body, state)
+
+
+def render(scene: Scene, options: RenderOptions = RenderOptions(),
+           num_iterations: Optional[int] = None,
+           state: Optional[RenderLoopState] = None,
+           differentiable: bool = False):
+    """Render ``num_iterations`` spp (defaults to the scene's ITERATIONS).
+
+    Returns (image (H,W,3), gbuffer (10,H,W), final state).  The entire spp
+    loop runs on-device in one compiled program.
+    """
+    if num_iterations is None:
+        num_iterations = scene.iterations
+    if state is None:
+        state = init_render_state(scene)
+    state = _render_jit(scene, state, options, jnp.int32(num_iterations),
+                        differentiable)
+    image = current_image(state, scene.camera.resolution)
+    gbuffer = assemble_gbuffer(state, scene.camera.resolution, options)
+    return image, gbuffer, state
+
+
+def render_gbuffer_frame(scene: Scene, options: RenderOptions = RenderOptions(),
+                         state: Optional[RenderLoopState] = None):
+    """One 1-spp frame + fresh G-buffer — the denoiser's input producer.
+
+    Equivalent to the interactive loop's camchanged path (main.cpp:122-165):
+    every frame restarts accumulation at iteration 0, so the G-buffer's
+    normal/depth/albedo channels are refreshed each frame.
+    """
+    state = init_render_state(scene)
+    return render(scene, options, num_iterations=1, state=state)

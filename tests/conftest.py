@@ -1,0 +1,58 @@
+"""Test configuration: force an 8-virtual-device CPU platform.
+
+The ambient environment preloads JAX via sitecustomize with
+JAX_PLATFORMS=axon (the real TPU tunnel); unit tests must never claim that
+chip, so the platform is overridden through jax.config (env edits are too
+late — jax is already imported).  Multi-chip sharding logic (parallel/) is
+exercised on the virtual CPU mesh; bench.py targets the real TPU instead.
+"""
+import os
+import pathlib
+
+# XLA_FLAGS is read when the CPU client is created — still ahead of us.
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: repeated pytest runs skip recompiles.
+_CACHE = pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"
+jax.config.update("jax_compilation_cache_dir", str(_CACHE))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import pytest  # noqa: E402
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _assert_cpu():
+    assert jax.devices()[0].platform == "cpu"
+    assert jax.device_count() == 8
+
+
+@pytest.fixture(scope="session")
+def cornell_scene():
+    from ai_path_tracer_denoiser_tpu.scene import load_scene
+    return load_scene(str(REPO / "scenes" / "cornell_box.txt"))
+
+
+@pytest.fixture(scope="session")
+def cornell_scene_small():
+    """Cornell box at 64x64 for fast render tests."""
+    import dataclasses
+
+    import numpy as np
+
+    from ai_path_tracer_denoiser_tpu.scene import load_scene
+    from ai_path_tracer_denoiser_tpu.scene.camera import derive_camera
+
+    scene = load_scene(str(REPO / "scenes" / "cornell_box.txt"))
+    cam = derive_camera((64, 64), 45.0, np.asarray(scene.camera.position),
+                        np.asarray(scene.camera.look_at),
+                        np.asarray(scene.camera.up))
+    return dataclasses.replace(scene, camera=cam, iterations=8)
