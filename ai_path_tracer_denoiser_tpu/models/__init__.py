@@ -1,0 +1,8 @@
+from .autoencoder import (  # noqa: F401
+    init_autoencoder,
+    init_hidden,
+    apply_frame,
+    apply_sequence,
+    param_count,
+)
+from .export import save_model, load_model  # noqa: F401

@@ -1,0 +1,64 @@
+"""Model (de)serialization — the deployable artifact.
+
+The reference deploys by tracing to TorchScript (convert_to_torchscript.py)
+and loading that file from C++ (main.cpp:39, 107).  Here inference shares the
+JAX model, so the artifact is simply the parameter + batch-norm-state pytree
+in a single .npz with a JSON manifest — loadable anywhere numpy exists, and
+jit-compiled on first use.  No tracing step means no traced-hidden-reset bug.
+"""
+from __future__ import annotations
+
+import json
+from typing import Any, Dict, Tuple
+
+import jax
+import numpy as np
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}/"))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def _unflatten(flat: Dict[str, np.ndarray]):
+    tree: Dict[str, Any] = {}
+    for key, value in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+    return tree
+
+
+def save_model(path: str, params, bn_state, meta: Dict[str, Any] = None):
+    """Write params + bn state + metadata to ``path`` (.npz)."""
+    flat = {f"params/{k}": v for k, v in _flatten(params).items()}
+    flat.update({f"bn_state/{k}": v for k, v in _flatten(bn_state).items()})
+    flat["__meta__"] = np.frombuffer(
+        json.dumps(meta or {}).encode(), dtype=np.uint8)
+    np.savez(path, **flat)
+
+
+def load_model(path: str) -> Tuple[Any, Any, Dict[str, Any]]:
+    """Read (params, bn_state, meta) back as jnp arrays."""
+    import jax.numpy as jnp
+    with np.load(path) as data:
+        meta = json.loads(bytes(data["__meta__"]).decode()) if "__meta__" in data else {}
+        params_flat = {}
+        state_flat = {}
+        for key in data.files:
+            if key == "__meta__":
+                continue
+            if key.startswith("params/"):
+                params_flat[key[len("params/"):]] = data[key]
+            elif key.startswith("bn_state/"):
+                state_flat[key[len("bn_state/"):]] = data[key]
+    params = jax.tree_util.tree_map(jnp.asarray, _unflatten(params_flat))
+    bn_state = jax.tree_util.tree_map(jnp.asarray, _unflatten(state_flat))
+    return params, bn_state, meta

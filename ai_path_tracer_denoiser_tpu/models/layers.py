@@ -1,0 +1,105 @@
+"""Primitive NN layers — NHWC, explicit param pytrees, TPU-native dtypes.
+
+Everything the reference builds from torch.nn (recurrent_autoencoder_model.py)
+re-expressed as pure functions over parameter dicts:
+
+  conv3x3 SAME      <- nn.Conv2d(k=3, padding=1)
+  batch_norm        <- nn.BatchNorm2d (eps 1e-5, momentum 0.1, batch stats in
+                       train mode, running stats in eval — torch semantics,
+                       including unbiased variance for the running estimate)
+  leaky_relu(0.1)   <- nn.LeakyReLU(negative_slope=0.1)
+  max_pool_2x2      <- nn.MaxPool2d(2)
+  upsample_nearest  <- nn.Upsample(scale_factor=2, mode='nearest')
+
+Convs optionally run in bfloat16 with float32 accumulation (MXU-friendly);
+parameters and normalization stay float32.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def conv_init(key, k: int, c_in: int, c_out: int):
+    """Kaiming-normal fan_in (train.py:32-35): std = sqrt(2 / (k*k*c_in)),
+    bias = 0.01."""
+    fan_in = k * k * c_in
+    std = (2.0 / fan_in) ** 0.5
+    w = jax.random.normal(key, (k, k, c_in, c_out), jnp.float32) * std
+    b = jnp.full((c_out,), 0.01, jnp.float32)
+    return {"w": w, "b": b}
+
+
+def bn_init(c: int):
+    return {"scale": jnp.ones((c,), jnp.float32),
+            "bias": jnp.zeros((c,), jnp.float32)}
+
+
+def bn_state_init(c: int):
+    return {"mean": jnp.zeros((c,), jnp.float32),
+            "var": jnp.ones((c,), jnp.float32)}
+
+
+def conv2d(params, x: jnp.ndarray, bf16: bool = False) -> jnp.ndarray:
+    """3x3 (or kxk) SAME conv, NHWC/HWIO."""
+    w = params["w"]
+    if bf16:
+        x = x.astype(jnp.bfloat16)
+        w = w.astype(jnp.bfloat16)
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    return y + params["b"]
+
+
+def batch_norm(params, state, x: jnp.ndarray, train: bool,
+               momentum: float = 0.1, eps: float = 1e-5,
+               axis_name: Optional[str] = None):
+    """BatchNorm over (N, H, W). Returns (y, new_state).
+
+    In train mode, normalizes with biased batch statistics and updates the
+    running estimates with the unbiased variance (torch convention).  When
+    ``axis_name`` is given (data-parallel shard_map/pmap), statistics are
+    averaged across devices so sharded training matches single-device math.
+    """
+    x32 = x.astype(jnp.float32)
+    if train:
+        mean = jnp.mean(x32, axis=(0, 1, 2))
+        sqmean = jnp.mean(jnp.square(x32), axis=(0, 1, 2))
+        if axis_name is not None:
+            mean = jax.lax.pmean(mean, axis_name)
+            sqmean = jax.lax.pmean(sqmean, axis_name)
+        var = sqmean - jnp.square(mean)
+        n = x32.shape[0] * x32.shape[1] * x32.shape[2]
+        if axis_name is not None:
+            n = n * jax.lax.psum(jnp.ones(()), axis_name)
+        unbiased = var * (n / jnp.maximum(n - 1, 1))
+        new_state = {
+            "mean": (1 - momentum) * state["mean"] + momentum * mean,
+            "var": (1 - momentum) * state["var"] + momentum * unbiased,
+        }
+    else:
+        mean, var = state["mean"], state["var"]
+        new_state = state
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps) * params["scale"] + params["bias"]
+    return y, new_state
+
+
+def leaky_relu(x: jnp.ndarray, slope: float = 0.1) -> jnp.ndarray:
+    return jnp.where(x >= 0, x, slope * x)
+
+
+def max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, window_dimensions=(1, 2, 2, 1),
+        window_strides=(1, 2, 2, 1), padding="VALID")
+
+
+def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
+    n, h, w, c = x.shape
+    x = x[:, :, None, :, None, :]
+    x = jnp.broadcast_to(x, (n, h, 2, w, 2, c))
+    return x.reshape(n, h * 2, w * 2, c)

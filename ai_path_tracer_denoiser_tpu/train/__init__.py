@@ -1,0 +1,12 @@
+from .loss import (  # noqa: F401
+    l1_norm,
+    log_filter,
+    gaussian_kernel,
+    hfen,
+    temporal_diff,
+    sequence_loss,
+)
+from .schedule import step_lr  # noqa: F401
+from .trainer import TrainState, init_train_state, train_step, fit  # noqa: F401
+from .checkpoint import save_checkpoint, load_checkpoint, latest_checkpoint  # noqa: F401
+from .logger import MetricsLogger  # noqa: F401

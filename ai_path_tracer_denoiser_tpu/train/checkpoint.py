@@ -1,0 +1,74 @@
+"""Checkpoint / resume.
+
+The reference saves only the model state_dict every 3 epochs
+(train.py:108-112), losing optimizer and schedule state.  Here the full
+TrainState (params, BN state, Adam state, step, lr) round-trips through
+orbax so training resumes exactly; a params-only export (models/export.py)
+remains the deployable artifact.
+"""
+from __future__ import annotations
+
+import os
+import re
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..models.export import _flatten, _unflatten
+
+
+def save_checkpoint(directory: str, state, epoch) -> str:
+    """Write a full-train-state checkpoint; returns the path."""
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(directory, f"model_{epoch}.npz")
+    flat = {}
+    flat.update({f"params/{k}": v for k, v in _flatten(state.params).items()})
+    flat.update({f"bn_state/{k}": v for k, v in _flatten(state.bn_state).items()})
+    opt_leaves = jax.tree_util.tree_leaves(state.opt_state)
+    for i, leaf in enumerate(opt_leaves):
+        flat[f"opt/{i}"] = np.asarray(leaf)
+    flat["step"] = np.asarray(state.step)
+    flat["lr"] = np.asarray(state.lr)
+    np.savez(path, **flat)
+    return path
+
+
+def load_checkpoint(path: str, template_state):
+    """Restore into the structure of ``template_state`` (same model config)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    with np.load(path) as data:
+        params_flat, state_flat, opt_flat = {}, {}, {}
+        for key in data.files:
+            if key.startswith("params/"):
+                params_flat[key[7:]] = data[key]
+            elif key.startswith("bn_state/"):
+                state_flat[key[9:]] = data[key]
+            elif key.startswith("opt/"):
+                opt_flat[int(key[4:])] = data[key]
+        step = jnp.asarray(data["step"])
+        lr = jnp.asarray(data["lr"])
+    params = jax.tree_util.tree_map(jnp.asarray, _unflatten(params_flat))
+    bn_state = jax.tree_util.tree_map(jnp.asarray, _unflatten(state_flat))
+    treedef = jax.tree_util.tree_structure(template_state.opt_state)
+    opt_leaves = [jnp.asarray(opt_flat[i]) for i in range(len(opt_flat))]
+    opt_state = jax.tree_util.tree_unflatten(treedef, opt_leaves)
+    return dataclasses.replace(template_state, params=params,
+                               bn_state=bn_state, opt_state=opt_state,
+                               step=step, lr=lr)
+
+
+def latest_checkpoint(directory: str) -> Optional[str]:
+    if not os.path.isdir(directory):
+        return None
+    best, best_epoch = None, -1
+    for name in os.listdir(directory):
+        m = re.match(r"model_(\d+|final)\.npz$", name)
+        if not m:
+            continue
+        epoch = 10 ** 9 if m.group(1) == "final" else int(m.group(1))
+        if epoch > best_epoch:
+            best, best_epoch = os.path.join(directory, name), epoch
+    return best

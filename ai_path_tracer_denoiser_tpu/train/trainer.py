@@ -1,0 +1,130 @@
+"""Training loop: Adam + StepLR, BPTT over 7-frame sequences.
+
+TPU re-design of train.py:30-112.  The reference's per-sequence python loop
+with module-attribute hidden state becomes one jitted ``train_step`` whose
+inner ``lax.scan`` runs the sequence and whose single backward pass is the
+BPTT through all 7 frames (loss.backward(), train.py:99).  Data-parallel
+training shards the sequence batch over the ``data`` mesh axis (parallel/dp).
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import ModelOptions, TrainOptions
+from ..models.autoencoder import apply_sequence, init_autoencoder
+from .loss import sequence_loss
+from .schedule import step_lr
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: dict
+    bn_state: dict
+    opt_state: optax.OptState
+    step: jnp.ndarray          # () int32
+    lr: jnp.ndarray            # () f32 — set per epoch by the driver
+
+
+jax.tree_util.register_dataclass(
+    TrainState, ["params", "bn_state", "opt_state", "step", "lr"], [])
+
+
+def _optimizer():
+    # Adam lr=1e-3 (train.py:41); lr is injected per-step for StepLR.
+    return optax.inject_hyperparams(optax.adam)(learning_rate=1e-3)
+
+
+def init_train_state(key, model_options: ModelOptions = ModelOptions(),
+                     train_options: TrainOptions = TrainOptions()) -> TrainState:
+    params, bn_state = init_autoencoder(key, model_options)
+    opt_state = _optimizer().init(params)
+    return TrainState(params=params, bn_state=bn_state, opt_state=opt_state,
+                      step=jnp.zeros((), jnp.int32),
+                      lr=jnp.asarray(train_options.lr, jnp.float32))
+
+
+def loss_fn(params, bn_state, inputs, targets,
+            train_options: TrainOptions = TrainOptions(),
+            bf16: bool = False, axis_name: Optional[str] = None):
+    """BPTT loss over one batch of sequences.
+
+    inputs: (T, N, H, W, 10) time-major; targets: (T, N, H, W, 3).
+    Returns (total, (metrics, new_bn_state)).
+    """
+    outputs, _, new_bn = apply_sequence(params, bn_state, inputs,
+                                        train=True, bf16=bf16,
+                                        axis_name=axis_name)
+    total, metrics = sequence_loss(
+        outputs, targets, train_options.w_spatial, train_options.w_gradient,
+        train_options.w_temporal, train_options.frame_ramp[:inputs.shape[0]])
+    return total, (metrics, new_bn)
+
+
+def train_step(state: TrainState, inputs: jnp.ndarray, targets: jnp.ndarray,
+               train_options: TrainOptions = TrainOptions(),
+               axis_name: Optional[str] = None
+               ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """One optimization step (forward 7 frames -> single backward -> Adam)."""
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    (total, (metrics, new_bn)), grads = grad_fn(
+        state.params, state.bn_state, inputs, targets, train_options,
+        train_options.bf16_compute, axis_name)
+    if axis_name is not None:
+        grads = jax.lax.pmean(grads, axis_name)
+        metrics = jax.lax.pmean(metrics, axis_name)
+    opt = _optimizer()
+    opt_state = state.opt_state
+    opt_state.hyperparams["learning_rate"] = state.lr
+    updates, opt_state = opt.update(grads, opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params=params, bn_state=new_bn, opt_state=opt_state,
+                      step=state.step + 1, lr=state.lr), metrics
+
+
+def fit(state: TrainState, data_iter_fn: Callable[[], Iterable],
+        train_options: TrainOptions = TrainOptions(),
+        epochs: Optional[int] = None,
+        logger=None, checkpoint_fn=None, log_every: int = 5):
+    """Epoch driver (train.py:54-112): StepLR per epoch, periodic checkpoints.
+
+    ``data_iter_fn()`` must yield (inputs (T,N,H,W,10), targets (T,N,H,W,3))
+    numpy/jnp batches for one epoch.
+    """
+    epochs = epochs if epochs is not None else train_options.epochs
+    jit_step = jax.jit(lambda s, x, y: train_step(s, x, y, train_options))
+    overall_step = int(state.step)
+    for epoch in range(epochs):
+        lr = step_lr(train_options.lr, epoch, train_options.lr_step_epochs,
+                     train_options.lr_gamma)
+        state = dataclasses.replace(state, lr=jnp.asarray(lr, jnp.float32))
+        t0 = time.time()
+        total, count = 0.0, 0
+        for i, (inputs, targets) in enumerate(data_iter_fn()):
+            state, metrics = jit_step(state, jnp.asarray(inputs),
+                                      jnp.asarray(targets))
+            loss_val = float(metrics["total"])
+            total += loss_val
+            count += 1
+            overall_step += 1
+            if logger is not None:
+                logger.scalars(overall_step,
+                               {k: float(v) for k, v in metrics.items()})
+            if i % log_every == 0:
+                print(f"Epoch [{epoch}] Step [{i}] "
+                      f"Total {loss_val:.4f} L1 {float(metrics['l1']):.4f} "
+                      f"HFEN {float(metrics['hfen']):.4f} "
+                      f"Temporal {float(metrics['temporal']):.4f} lr {lr:g}")
+        dt = time.time() - t0
+        if count:
+            print(f"Epoch {epoch}: avg loss {total / count:.4f} ({dt:.1f}s)")
+        if checkpoint_fn is not None and epoch % train_options.checkpoint_every_epochs == 0:
+            checkpoint_fn(state, epoch)
+    if checkpoint_fn is not None:
+        checkpoint_fn(state, "final")
+    return state
