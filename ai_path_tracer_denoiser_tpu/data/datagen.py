@@ -1,0 +1,104 @@
+"""Training-data generation — fully on-device, no PNG round trip.
+
+The reference generates data with a bash driver that re-runs the tracer
+binary per scene, writing every G-buffer channel to PNGs (train.sh:8-30),
+which preprocess.py then resizes/rescales into npy (losing precision to
+8-bit quantization on the way).  Here the tracer *is* the framework, so for
+each frame we render the 1-spp G-buffer and the high-spp ground truth
+directly and write float32 npy pairs: input (H, W, 10), gt (H, W, 3).
+
+Filenames follow the reference scheme ``{scene}_{mov}_{noise}_{frame}.npy``
+so the dataset/loader (dataloader.py semantics) applies unchanged.  An
+optional PNG dump reproduces the reference's directory layout
+(RGB/Normals/Depth/Albedos/GroundTruth) for interop.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+from ..config import RenderOptions
+from ..render import render, init_render_state
+from ..scene.camera import orbit_camera, orbit_params_from_camera
+from ..scene.structs import Scene
+from ..utils.imageio import save_png_scaled
+
+
+def _gbuffer_to_input(gbuf: np.ndarray, clamp_rgb: bool = True) -> np.ndarray:
+    """(10, H, W) CHW -> (H, W, 10) HWC float32 training input.
+
+    Native scaling: RGB/albedo clamped to [0,1], normals raw in [-1,1],
+    depth raw world units — full float precision, unlike the reference's
+    8-bit PNG quantization (preprocess.py:37-41).
+    """
+    x = np.moveaxis(np.asarray(gbuf, np.float32), 0, -1)
+    if clamp_rgb:
+        x[..., 0:3] = np.clip(x[..., 0:3], 0.0, 1.0)
+        x[..., 7:10] = np.clip(x[..., 7:10], 0.0, 1.0)
+    return x
+
+
+def generate_training_data(
+        scenes: Sequence[Scene], out_dir: str,
+        frames_per_scene: int = 60,
+        gt_spp: int = 512,
+        noise_seeds: int = 1,
+        options: RenderOptions = RenderOptions(),
+        dphi: float = 0.01,
+        png_dump: bool = False,
+        progress: bool = True):
+    """Render (input, gt) npy pairs for every scene/pan/noise/frame.
+
+    For each frame along an orbit pan: one 1-spp iteration fills the input
+    G-buffer; ``gt_spp`` accumulation renders the converged target.  The
+    noise-seed axis offsets the iteration counter so each variant draws a
+    different (iter, pixel, depth) hash stream — the reference's "noise"
+    axis (train.sh loop, README.md:96-103).
+    """
+    input_dir = os.path.join(out_dir, "input")
+    gt_dir = os.path.join(out_dir, "gt")
+    os.makedirs(input_dir, exist_ok=True)
+    os.makedirs(gt_dir, exist_ok=True)
+    if png_dump:
+        for sub in ("RGB", "Normals", "Depth", "Albedos", "GroundTruth"):
+            os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
+
+    for scene_idx, scene in enumerate(scenes):
+        phi, theta, zoom = orbit_params_from_camera(scene.camera)
+        for noise in range(noise_seeds):
+            for frame in range(frames_per_scene):
+                cam = orbit_camera(scene.camera, phi + dphi * frame, theta, zoom)
+                fscene = dataclasses.replace(scene, camera=cam)
+                # 1-spp input frame. The noise axis shifts the RNG iteration
+                # counter by pre-advancing the state's iteration.
+                state = init_render_state(fscene)
+                state = dataclasses.replace(
+                    state, iteration=state.iteration + noise * 7919)
+                img1, gbuf, state = render(fscene, options, num_iterations=1,
+                                           state=state)
+                # ground truth: accumulate gt_spp iterations from scratch
+                gt_img, _, _ = render(fscene, options, num_iterations=gt_spp)
+
+                inp = _gbuffer_to_input(np.asarray(gbuf))
+                gt = np.clip(np.asarray(gt_img, np.float32), 0.0, 1.0)
+                if options.flip_horizontal:
+                    gt = gt[:, ::-1]   # align GT with the flipped G-buffer
+                stem = f"{scene_idx}_0_{noise}_{frame}"
+                np.save(os.path.join(input_dir, stem + ".npy"), inp)
+                np.save(os.path.join(gt_dir, stem + ".npy"), gt)
+                if png_dump:
+                    save_png_scaled(os.path.join(out_dir, "RGB", stem), inp[..., 0:3])
+                    save_png_scaled(os.path.join(out_dir, "Normals", stem),
+                                    inp[..., 3:6] * 0.5 + 0.5)
+                    depth = inp[..., 6:7]
+                    save_png_scaled(os.path.join(out_dir, "Depth", stem),
+                                    np.repeat(depth / max(depth.max(), 1e-6), 3, -1))
+                    save_png_scaled(os.path.join(out_dir, "Albedos", stem),
+                                    inp[..., 7:10])
+                    save_png_scaled(os.path.join(out_dir, "GroundTruth", stem), gt)
+                if progress:
+                    print(f"scene {scene_idx} noise {noise} frame {frame} done")
+    return input_dir, gt_dir

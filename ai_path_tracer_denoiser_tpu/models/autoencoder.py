@@ -113,50 +113,52 @@ def param_count(params) -> int:
 # Apply
 # ---------------------------------------------------------------------------
 
-def _down_block(params, state, x, hidden, train, bf16, axis_name):
+def _down_block(params, state, x, hidden, train, bf16, axis_name,
+                spatial_axis=None):
     """Downsample RecurrentBlock forward (:64-70). Returns (out, new_state)."""
-    out1 = conv2d(params["conv1"], x, bf16)
+    out1 = conv2d(params["conv1"], x, bf16, spatial_axis)
     out1, s1 = batch_norm(params["bn1"], state["bn1"], out1, train,
                           axis_name=axis_name)
     out1 = leaky_relu(out1)
     h = jnp.concatenate([out1, hidden.astype(out1.dtype)], axis=-1)
-    out2 = conv2d(params["conv2"], h, bf16)
+    out2 = conv2d(params["conv2"], h, bf16, spatial_axis)
     out2 = leaky_relu(out2)                       # LReLU before BN (:31-32)
     out2, s2 = batch_norm(params["bn2"], state["bn2"], out2, train,
                           axis_name=axis_name)
-    out2 = conv2d(params["conv3"], out2, bf16)
+    out2 = conv2d(params["conv3"], out2, bf16, spatial_axis)
     out2, s3 = batch_norm(params["bn3"], state["bn3"], out2, train,
                           axis_name=axis_name)
     out2 = leaky_relu(out2)
     return out2, {"bn1": s1, "bn2": s2, "bn3": s3}
 
 
-def _bottleneck_block(params, state, x, hidden, train, bf16, axis_name):
+def _bottleneck_block(params, state, x, hidden, train, bf16, axis_name,
+                      spatial_axis=None):
     """Bottleneck forward (:75-81); layer2 order Conv->BN->LReLU (:55-62)."""
-    out1 = conv2d(params["conv1"], x, bf16)
+    out1 = conv2d(params["conv1"], x, bf16, spatial_axis)
     out1, s1 = batch_norm(params["bn1"], state["bn1"], out1, train,
                           axis_name=axis_name)
     out1 = leaky_relu(out1)
     h = jnp.concatenate([out1, hidden.astype(out1.dtype)], axis=-1)
-    out2 = conv2d(params["conv2"], h, bf16)
+    out2 = conv2d(params["conv2"], h, bf16, spatial_axis)
     out2, s2 = batch_norm(params["bn2"], state["bn2"], out2, train,
                           axis_name=axis_name)
     out2 = leaky_relu(out2)
-    out2 = conv2d(params["conv3"], out2, bf16)
+    out2 = conv2d(params["conv3"], out2, bf16, spatial_axis)
     out2, s3 = batch_norm(params["bn3"], state["bn3"], out2, train,
                           axis_name=axis_name)
     out2 = leaky_relu(out2)
     return out2, {"bn1": s1, "bn2": s2, "bn3": s3}
 
 
-def _up_block(params, state, x, train, bf16, axis_name):
+def _up_block(params, state, x, train, bf16, axis_name, spatial_axis=None):
     """Upsample RecurrentBlock forward (:38-47, :72-73)."""
     x = upsample_nearest_2x(x)
-    y = conv2d(params["conv1"], x, bf16)
+    y = conv2d(params["conv1"], x, bf16, spatial_axis)
     y, s1 = batch_norm(params["bn1"], state["bn1"], y, train,
                        axis_name=axis_name)
     y = leaky_relu(y)
-    y = conv2d(params["conv2"], y, bf16)
+    y = conv2d(params["conv2"], y, bf16, spatial_axis)
     y, s2 = batch_norm(params["bn2"], state["bn2"], y, train,
                        axis_name=axis_name)
     y = leaky_relu(y)
@@ -165,7 +167,8 @@ def _up_block(params, state, x, train, bf16, axis_name):
 
 def apply_frame(params, bn_state, x: jnp.ndarray, hidden: Dict,
                 train: bool = False, bf16: bool = False,
-                axis_name: Optional[str] = None
+                axis_name: Optional[str] = None,
+                spatial_axis: Optional[str] = None
                 ) -> Tuple[jnp.ndarray, Dict, Dict]:
     """One frame through the autoencoder (AutoEncoder.forward, :120-142).
 
@@ -182,7 +185,8 @@ def apply_frame(params, bn_state, x: jnp.ndarray, hidden: Dict,
     for i in range(1, 6):
         name = f"enc{i}"
         out, new_state[name] = _down_block(
-            params[name], bn_state[name], y, hidden[name], train, bf16, axis_name)
+            params[name], bn_state[name], y, hidden[name], train, bf16,
+            axis_name, spatial_axis)
         new_hidden[name] = out
         y = max_pool_2x2(out)
         # the reference's skip tensors are the *pooled* encoder outputs —
@@ -191,7 +195,7 @@ def apply_frame(params, bn_state, x: jnp.ndarray, hidden: Dict,
 
     out, new_state["bottleneck"] = _bottleneck_block(
         params["bottleneck"], bn_state["bottleneck"], y, hidden["bottleneck"],
-        train, bf16, axis_name)
+        train, bf16, axis_name, spatial_axis)
     new_hidden["bottleneck"] = out
     y = out
 
@@ -199,13 +203,14 @@ def apply_frame(params, bn_state, x: jnp.ndarray, hidden: Dict,
         name = f"dec{i}"
         y = jnp.concatenate([y, skips[i - 1].astype(y.dtype)], axis=-1)
         y, new_state[name] = _up_block(params[name], bn_state[name], y,
-                                       train, bf16, axis_name)
+                                       train, bf16, axis_name, spatial_axis)
     return y, new_hidden, new_state
 
 
 def apply_sequence(params, bn_state, x_seq: jnp.ndarray,
                    train: bool = False, bf16: bool = False,
-                   axis_name: Optional[str] = None):
+                   axis_name: Optional[str] = None,
+                   spatial_axis: Optional[str] = None):
     """A whole temporal sequence via ``lax.scan`` (train.py:70-75 loop).
 
     Args:
@@ -222,12 +227,12 @@ def apply_sequence(params, bn_state, x_seq: jnp.ndarray,
     opts = ModelOptions(widths=widths,
                         in_channels=x_seq.shape[-1],
                         out_channels=params["dec1"]["conv2"]["w"].shape[-1])
-    hidden0 = init_hidden(n, h, w, opts)
+    hidden0 = init_hidden(n, h, w, opts, dtype=x_seq.dtype)
 
     def step(carry, x):
         hidden, state = carry
         y, hidden, state = apply_frame(params, state, x, hidden, train, bf16,
-                                       axis_name)
+                                       axis_name, spatial_axis)
         return (hidden, state), y
 
     (hidden, bn_state), ys = jax.lax.scan(step, (hidden0, bn_state), x_seq)

@@ -42,17 +42,52 @@ def bn_state_init(c: int):
             "var": jnp.ones((c,), jnp.float32)}
 
 
-def conv2d(params, x: jnp.ndarray, bf16: bool = False) -> jnp.ndarray:
-    """3x3 (or kxk) SAME conv, NHWC/HWIO."""
+def conv2d(params, x: jnp.ndarray, bf16: bool = False,
+           spatial_axis: Optional[str] = None) -> jnp.ndarray:
+    """3x3 (or kxk) SAME conv, NHWC/HWIO.
+
+    With ``spatial_axis`` set (inside shard_map, H sharded over that mesh
+    axis), a halo exchange via ppermute supplies the neighbor rows so the
+    sharded result is bitwise-equivalent to the unsharded SAME conv — the
+    context-parallel analogue for conv nets (SURVEY.md §2 SP row).
+    """
     w = params["w"]
     if bf16:
         x = x.astype(jnp.bfloat16)
         w = w.astype(jnp.bfloat16)
-    y = jax.lax.conv_general_dilated(
-        x, w, window_strides=(1, 1), padding="SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
+    if spatial_axis is None:
+        y = jax.lax.conv_general_dilated(
+            x, w, window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=_pref_dtype(x))
+    else:
+        kh = w.shape[0]
+        halo = kh // 2
+        x = _halo_exchange_rows(x, halo, spatial_axis)
+        y = jax.lax.conv_general_dilated(
+            x, w, window_strides=(1, 1),
+            padding=((0, 0), (w.shape[1] // 2, w.shape[1] // 2)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=_pref_dtype(x))
     return y + params["b"]
+
+
+def _halo_exchange_rows(x: jnp.ndarray, halo: int, axis_name: str) -> jnp.ndarray:
+    """Concat ``halo`` rows from H-axis neighbors (zeros at global edges).
+
+    ppermute rides the ICI ring; each shard sends its boundary rows both
+    ways, replacing the zero padding XLA would apply at shard-local edges.
+    """
+    n_dev = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    fwd = [(i, i + 1) for i in range(n_dev - 1)]    # send down
+    bwd = [(i + 1, i) for i in range(n_dev - 1)]    # send up
+    from_above = jax.lax.ppermute(x[:, -halo:], axis_name, fwd)
+    from_below = jax.lax.ppermute(x[:, :halo], axis_name, bwd)
+    zeros = jnp.zeros_like(x[:, :halo])
+    top = jnp.where(idx == 0, zeros, from_above)
+    bottom = jnp.where(idx == n_dev - 1, zeros, from_below)
+    return jnp.concatenate([top, x, bottom], axis=1)
 
 
 def batch_norm(params, state, x: jnp.ndarray, train: bool,
@@ -65,7 +100,8 @@ def batch_norm(params, state, x: jnp.ndarray, train: bool,
     ``axis_name`` is given (data-parallel shard_map/pmap), statistics are
     averaged across devices so sharded training matches single-device math.
     """
-    x32 = x.astype(jnp.float32)
+    # bf16 activations normalize in f32; f32/f64 pass through unchanged
+    x32 = x.astype(jnp.float32) if x.dtype == jnp.bfloat16 else x
     if train:
         mean = jnp.mean(x32, axis=(0, 1, 2))
         sqmean = jnp.mean(jnp.square(x32), axis=(0, 1, 2))
@@ -103,3 +139,8 @@ def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
     x = x[:, :, None, :, None, :]
     x = jnp.broadcast_to(x, (n, h, 2, w, 2, c))
     return x.reshape(n, h * 2, w * 2, c)
+
+
+def _pref_dtype(x):
+    """f32 accumulation, widened when inputs are f64 (x64 debugging mode)."""
+    return jnp.float64 if x.dtype == jnp.float64 else jnp.float32

@@ -82,7 +82,9 @@ def init_render_state(scene: Scene) -> RenderLoopState:
 
 
 def generate_camera_rays(camera: Camera, iteration: jnp.ndarray,
-                         options: RenderOptions) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                         options: RenderOptions,
+                         pixel_ids: Optional[jnp.ndarray] = None
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-pixel primary rays with optional AA jitter.
 
     Port of generateRayFromCamera (pathtrace.cu:155-182).  The reference
@@ -91,8 +93,10 @@ def generate_camera_rays(camera: Camera, iteration: jnp.ndarray,
     so we seed with depth=0, which matches every iteration but the first.
     """
     w, h = camera.resolution
-    n = w * h
-    idx = jnp.arange(n, dtype=jnp.uint32)
+    if pixel_ids is None:
+        pixel_ids = jnp.arange(w * h, dtype=jnp.uint32)
+    idx = pixel_ids.astype(jnp.uint32)
+    n = idx.shape[0]
     x = (idx % jnp.uint32(w)).astype(jnp.float32)
     y = (idx // jnp.uint32(w)).astype(jnp.float32)
 
@@ -128,13 +132,15 @@ def _gather_material(scene: Scene, mat_id: jnp.ndarray):
 
 
 def _shade(scene: Scene, options: RenderOptions, iteration, isect,
-           ray_d, color, remaining):
+           ray_d, color, remaining, pixel_offset=0):
     """Branch-free shadeMaterial (pathtrace.cu:333-390).
 
-    Returns (new_ray_o, new_ray_d, new_color, new_remaining).
+    Returns (new_ray_o, new_ray_d, new_color, new_remaining).  ``pixel_offset``
+    globalizes the RNG path index under tile sharding so a sharded render
+    draws the identical noise stream as a single-device one.
     """
     n = ray_d.shape[0]
-    idx = jnp.arange(n, dtype=jnp.uint32)
+    idx = jnp.arange(n, dtype=jnp.uint32) + jnp.uint32(pixel_offset)
     u = draw_uniforms(iteration, idx, remaining, 2, options.rng)
 
     alive = remaining != 0
@@ -177,10 +183,15 @@ def _maybe_sort_by_material(options, isect_mat, alive, *arrays):
 
 def trace_iteration(scene: Scene, options: RenderOptions,
                     state: RenderLoopState,
-                    differentiable: bool = False) -> RenderLoopState:
-    """One full 1-spp path-trace iteration (pathtrace.cu:422-528)."""
+                    differentiable: bool = False,
+                    pixel_offset=0) -> RenderLoopState:
+    """One full 1-spp path-trace iteration (pathtrace.cu:422-528).
+
+    ``pixel_offset``: first global pixel id of this state's tile — 0 for a
+    whole-frame state; ``axis_index * tile_size`` under tile sharding.
+    """
     w, h = scene.camera.resolution
-    n = w * h
+    n = state.accum.shape[0]
     depth_max = scene.trace_depth
     iteration = state.iteration + 1
 
@@ -193,10 +204,12 @@ def trace_iteration(scene: Scene, options: RenderOptions,
                 do_move.reshape((1,) * new.ndim), new, old),
             advance_geoms(geoms), geoms)
 
-    ray_o, ray_d = generate_camera_rays(scene.camera, iteration, options)
+    pixel_ids = jnp.arange(n, dtype=jnp.uint32) + jnp.uint32(pixel_offset)
+    ray_o, ray_d = generate_camera_rays(scene.camera, iteration, options,
+                                        pixel_ids)
     color = jnp.ones((n, 3), jnp.float32)
     remaining = jnp.full((n,), depth_max, jnp.int32)
-    pixel_index = jnp.arange(n, dtype=jnp.int32)
+    pixel_index = jnp.arange(n, dtype=jnp.int32)   # local gather index
 
     # ---- depth 0 (peeled: G-buffer emission + first-bounce cache) ----
     if options.cache_first_bounce:
@@ -225,7 +238,8 @@ def trace_iteration(scene: Scene, options: RenderOptions,
         gbuf = gbuf.at[3].set(jnp.where(write, isect0["t"], gbuf[3]))
 
     ray_o, ray_d, color, remaining = _shade(
-        scene, options, iteration, isect0, ray_d, color, remaining)
+        scene, options, iteration, isect0, ray_d, color, remaining,
+        pixel_offset)
 
     # G-buffer: albedo = throughput after the first shade (pathtrace.cu:379-387).
     if options.denoise:
@@ -242,7 +256,8 @@ def trace_iteration(scene: Scene, options: RenderOptions,
         ray_o, ray_d, color, remaining, pixel_index = carry
         isect = intersect_scene(geoms, scene.mesh, ray_o, ray_d,
                                 ray_culling=options.ray_culling)
-        out = _shade(scene, options, iteration, isect, ray_d, color, remaining)
+        out = _shade(scene, options, iteration, isect, ray_d, color, remaining,
+                     pixel_offset)
         ray_o, ray_d, color, remaining = out
         carry = _maybe_sort_by_material(options, isect["material_id"],
                                         remaining > 0,

@@ -49,11 +49,11 @@ def gaussian_kernel(kernel_size: int = 5, sigma: float = 1.5) -> jnp.ndarray:
 def _depthwise_conv(x: jnp.ndarray, k2d: jnp.ndarray, padding) -> jnp.ndarray:
     """Depthwise 2-D conv on NHWC with a shared (kh,kw) kernel."""
     c = x.shape[-1]
-    kernel = jnp.tile(k2d[:, :, None, None], (1, 1, 1, c))  # HWIO, I=1 (grouped)
+    kernel = jnp.tile(k2d[:, :, None, None], (1, 1, 1, c)).astype(x.dtype)
     return jax.lax.conv_general_dilated(
         x, kernel, window_strides=(1, 1), padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c, preferred_element_type=jnp.float32)
+        feature_group_count=c, preferred_element_type=_pref_dtype(x))
 
 
 _LOG_KERNEL = jnp.array([[0.0, 1.0, 0.0],
@@ -68,18 +68,21 @@ def log_filter(x: jnp.ndarray) -> jnp.ndarray:
     conv2d sums the Laplacian over input channels.
     """
     c = x.shape[-1]
-    kernel = jnp.tile(_LOG_KERNEL[:, :, None, None], (1, 1, c, 1))  # (3,3,C,1)
+    kernel = jnp.tile(_LOG_KERNEL[:, :, None, None], (1, 1, c, 1)).astype(x.dtype)
     return jax.lax.conv_general_dilated(
         x, kernel, window_strides=(1, 1), padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=_pref_dtype(x))
 
 
-def hfen(output: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+def hfen(output: jnp.ndarray, target: jnp.ndarray,
+         axis_name=None) -> jnp.ndarray:
     """High-frequency error norm (HFEN, loss.py:68-79).
 
     Gaussian(5, 1.5) depthwise with no padding (torch Conv2d default), then
     channel-summed LoG, each max-normalized when its max is nonzero, then L1.
+    With ``axis_name`` the normalizing max spans the data-parallel axis so
+    sharded training reproduces single-device math exactly.
     """
     g = gaussian_kernel(5, 1.5)
     blurred_t = _depthwise_conv(target, g, "VALID")
@@ -88,6 +91,11 @@ def hfen(output: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     grad_o = log_filter(blurred_o)
     max_t = jnp.max(grad_t)
     max_o = jnp.max(grad_o)
+    if axis_name is not None:
+        # differentiable cross-device max: gather the per-device scalar
+        # maxima (pmax has no VJP), then reduce
+        max_t = jnp.max(jax.lax.all_gather(max_t, axis_name))
+        max_o = jnp.max(jax.lax.all_gather(max_o, axis_name))
     grad_t = jnp.where(max_t != 0, grad_t / max_t, grad_t)
     grad_o = jnp.where(max_o != 0, grad_o / max_o, grad_o)
     return l1_norm(grad_o, grad_t)
@@ -103,16 +111,17 @@ def temporal_diff(seq: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([jnp.zeros_like(seq[:1]), d], axis=0)
 
 
-def frame_loss(output, t_output, target, t_target):
+def frame_loss(output, t_output, target, t_target, axis_name=None):
     """(ls, lg, lt) for one frame (loss_func, loss.py:99-104)."""
-    return (l1_norm(output, target), hfen(output, target),
+    return (l1_norm(output, target), hfen(output, target, axis_name),
             l1_norm(t_output, t_target))
 
 
 def sequence_loss(outputs: jnp.ndarray, targets: jnp.ndarray,
                   w_spatial: float = 0.8, w_gradient: float = 0.1,
                   w_temporal: float = 0.1,
-                  frame_ramp: Tuple[float, ...] = FRAME_RAMP):
+                  frame_ramp: Tuple[float, ...] = FRAME_RAMP,
+                  axis_name=None):
     """Total BPTT loss over a (T, N, H, W, 3) sequence (train.py:76-89).
 
     total = sum_j (ws + r_j)*ls_j + (wg + r_j)*lg_j + (wt + r_j)*lt_j
@@ -125,7 +134,8 @@ def sequence_loss(outputs: jnp.ndarray, targets: jnp.ndarray,
     assert len(frame_ramp) >= t, "frame_ramp shorter than sequence"
 
     def per_frame(j):
-        return frame_loss(outputs[j], t_out[j], targets[j], t_tgt[j])
+        return frame_loss(outputs[j], t_out[j], targets[j], t_tgt[j],
+                          axis_name)
 
     total = jnp.zeros(())
     ls_sum = jnp.zeros(())
@@ -138,3 +148,8 @@ def sequence_loss(outputs: jnp.ndarray, targets: jnp.ndarray,
         ls_sum, lg_sum, lt_sum = ls_sum + ls, lg_sum + lg, lt_sum + lt
     return total, {"total": total, "l1": ls_sum, "hfen": lg_sum,
                    "temporal": lt_sum}
+
+
+def _pref_dtype(x):
+    """f32 accumulation, widened when inputs are f64 (x64 debugging mode)."""
+    return jnp.float64 if x.dtype == jnp.float64 else jnp.float32

@@ -62,7 +62,8 @@ def loss_fn(params, bn_state, inputs, targets,
                                         axis_name=axis_name)
     total, metrics = sequence_loss(
         outputs, targets, train_options.w_spatial, train_options.w_gradient,
-        train_options.w_temporal, train_options.frame_ramp[:inputs.shape[0]])
+        train_options.w_temporal, train_options.frame_ramp[:inputs.shape[0]],
+        axis_name=axis_name)
     return total, (metrics, new_bn)
 
 

@@ -1,0 +1,93 @@
+"""Data pipeline + image IO."""
+import os
+
+import numpy as np
+
+from ai_path_tracer_denoiser_tpu.data import (SequenceDataset, find_max,
+                                              sequence_batches)
+from ai_path_tracer_denoiser_tpu.utils import (save_png, save_png_scaled,
+                                               save_hdr, read_png)
+from ai_path_tracer_denoiser_tpu.utils.imageio import encode_png, _read_png_pure
+
+
+def _make_npy_dataset(tmp_path, frames=10, h=64, w=64):
+    inp = tmp_path / "input"
+    gt = tmp_path / "gt"
+    inp.mkdir()
+    gt.mkdir()
+    rng = np.random.default_rng(0)
+    for f in range(frames):
+        stem = f"0_0_0_{f}.npy"
+        np.save(inp / stem, rng.normal(size=(h, w, 10)).astype(np.float32))
+        np.save(gt / stem, rng.normal(size=(h, w, 3)).astype(np.float32))
+    return str(inp), str(gt)
+
+
+def test_find_max(tmp_path):
+    d = tmp_path / "RGB"
+    d.mkdir()
+    for s in range(2):
+        for f in range(5):
+            (d / f"{s}_0_0_{f}.png").touch()
+    m = find_max(str(d), 2, 1, 1)
+    assert m[0, 0, 0] == 4 and m[1, 0, 0] == 4
+
+
+def test_dataset_window_and_clamp(tmp_path):
+    inp, gt = _make_npy_dataset(tmp_path, frames=10)
+    m = np.zeros((1, 1, 1))
+    m[0, 0, 0] = 9   # max frame index
+    ds = SequenceDataset(inp, gt, m, sequence_length=7)
+    x, y = ds[0]
+    assert x.shape == (7, 64, 64, 10) and y.shape == (7, 64, 64, 3)
+    # window starting near the end clamps (dataloader.py:48-49)
+    x_end, _ = ds[9]
+    x_clamped, _ = ds[3]
+    np.testing.assert_array_equal(x_end, x_clamped)
+
+
+def test_dataset_crop(tmp_path):
+    inp, gt = _make_npy_dataset(tmp_path, frames=8)
+    ds = SequenceDataset(inp, gt, None, crop=True, crop_size=32)
+    x, y = ds[0]
+    assert x.shape == (7, 32, 32, 10) and y.shape == (7, 32, 32, 3)
+
+
+def test_sequence_batches(tmp_path):
+    inp, gt = _make_npy_dataset(tmp_path, frames=8)
+    ds = SequenceDataset(inp, gt, None)
+    batches = list(sequence_batches(ds, batch_size=2, shuffle=False))
+    assert len(batches) == 4
+    x, y = batches[0]
+    assert x.shape == (7, 2, 64, 64, 10) and y.shape == (7, 2, 64, 64, 3)
+
+
+def test_png_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, size=(33, 47, 3), dtype=np.uint8)
+    path = save_png(str(tmp_path / "x"), img)
+    back = read_png(path)
+    np.testing.assert_array_equal(img, back)
+    # pure-python decoder agrees too
+    np.testing.assert_array_equal(img, _read_png_pure(path))
+
+
+def test_png_scaled(tmp_path):
+    img = np.array([[[0.0, 0.5, 1.5]]], np.float32)  # clamps 1.5 -> 1.0
+    path = save_png_scaled(str(tmp_path / "y"), img)
+    back = read_png(path)
+    assert back[0, 0].tolist() == [0, 127, 255]
+
+
+def test_hdr_writer(tmp_path):
+    img = np.array([[[0.5, 1.0, 2.0], [0.0, 0.0, 0.0]]], np.float32)
+    path = save_hdr(str(tmp_path / "z"), img)
+    data = open(path, "rb").read()
+    assert data.startswith(b"#?RADIANCE")
+    # decode the RGBE pixel back approximately
+    header_end = data.index(b"+X 2\n") + 5
+    rgbe = np.frombuffer(data[header_end:], np.uint8).reshape(1, 2, 4)
+    e = rgbe[0, 0, 3].astype(np.int32) - 128
+    rgb = rgbe[0, 0, :3].astype(np.float64) * (2.0 ** e) / 256.0
+    np.testing.assert_allclose(rgb, [0.5, 1.0, 2.0], rtol=0.02)
+    assert rgbe[0, 1].tolist() == [0, 0, 0, 0]
