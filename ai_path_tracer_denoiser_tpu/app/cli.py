@@ -1,0 +1,446 @@
+"""Command-line application.
+
+The user-facing surface replacing the reference's interactive binary
+(main.cpp) and its satellite scripts:
+
+  render      accumulate N spp, save PNG/HDR      <- GROUND_TRUTH mode + image.cpp
+  interactive headless frame-sequence driver:      <- runCuda loop (main.cpp:120-168)
+              per frame 1spp trace -> denoise -> save, orbiting camera
+  datagen     training-data generation             <- train.sh + data_gen branch
+  randomize   scene-variant generation             <- scenes/create_scene.py
+  preprocess  PNG dirs -> npy                      <- training/preprocess.py
+  train       denoiser training                    <- training/train.py
+  eval        [input | prediction | GT] strips     <- training/test.py
+  export      deployable model artifact            <- convert_to_torchscript.py
+  bench       per-scene timing harness             <- cornell_timing scenes + TIME flag
+
+There is no GL window (headless TPU pods); the "preview" equivalent is the
+PNG frame stream written by ``interactive``.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _platform_arg(p):
+    if p:
+        import jax
+        jax.config.update("jax_platforms", p)
+
+
+def _load_scene_scaled(path, res=None):
+    from ..scene import load_scene
+    from ..scene.camera import derive_camera
+    scene = load_scene(path)
+    if res is not None and tuple(scene.camera.resolution) != (res, res):
+        cam = derive_camera((res, res), float(scene.camera.fov[1]),
+                            np.asarray(scene.camera.position),
+                            np.asarray(scene.camera.look_at),
+                            np.asarray(scene.camera.up))
+        scene = dataclasses.replace(scene, camera=cam)
+    return scene
+
+
+def _render_options(args):
+    from ..config import RenderOptions
+    kwargs = {}
+    for flag in ("stream_compaction", "sort_material", "cache_first_bounce",
+                 "ray_culling", "antialias", "motion_blur", "denoise",
+                 "mesh_normal_view", "fresnels", "dielectric"):
+        if getattr(args, flag, None) is not None:
+            kwargs[flag] = getattr(args, flag)
+    if getattr(args, "rng", None):
+        kwargs["rng"] = args.rng
+    return RenderOptions(**kwargs)
+
+
+def _display_image(image, flip: bool) -> np.ndarray:
+    """Accumulated radiance -> display orientation (un-mirror)."""
+    img = np.asarray(image)
+    return img[:, ::-1] if flip else img
+
+
+def cmd_render(args):
+    _platform_arg(args.platform)
+    from ..render import render
+    from ..utils import save_hdr, save_png_scaled
+    scene = _load_scene_scaled(args.scene, args.res)
+    options = _render_options(args)
+    spp = args.spp or scene.iterations
+    t0 = time.time()
+    image, gbuffer, state = render(scene, options, num_iterations=spp)
+    image = _display_image(image, flip=True)
+    dt = time.time() - t0
+    out = args.out or scene.image_name
+    path = save_png_scaled(out if out.endswith(".png") else out + ".png", image)
+    if args.hdr:
+        save_hdr(out.replace(".png", ""), image)
+    if args.save_gbuffer:
+        np.save(out.replace(".png", "") + "_gbuffer.npy", np.asarray(gbuffer))
+    print(f"rendered {spp} spp in {dt:.2f}s -> {path}")
+
+
+def cmd_interactive(args):
+    """Headless interactive loop: 1spp + denoise per frame, orbiting camera.
+
+    Per-frame flow mirrors runCuda (main.cpp:120-168): camera moves ->
+    accumulation resets -> 1spp trace fills the G-buffer -> denoiser
+    consumes it -> frame written.  Hidden states persist across frames
+    (fixing the reference's traced-export reset, SURVEY.md §7).
+    """
+    _platform_arg(args.platform)
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import ModelOptions
+    from ..models import apply_frame, init_autoencoder, init_hidden, load_model
+    from ..render import render_gbuffer_frame
+    from ..scene.camera import orbit_camera, orbit_params_from_camera
+    from ..utils import save_png_scaled
+
+    scene = _load_scene_scaled(args.scene, args.res)
+    options = _render_options(args)
+    w, h = scene.camera.resolution
+    if args.model and os.path.exists(args.model):
+        params, bn_state, meta = load_model(args.model)
+        mopts = ModelOptions(widths=tuple(meta.get("widths", (32, 43, 57, 76, 101))))
+    else:
+        print("no trained model given; using randomly initialized denoiser")
+        mopts = ModelOptions()
+        params, bn_state = init_autoencoder(jax.random.PRNGKey(0), mopts)
+
+    denoise = jax.jit(lambda p, s, x, hd: apply_frame(p, s, x, hd, train=False,
+                                                      bf16=True)[:2])
+    hidden = init_hidden(1, h, w, mopts)
+    phi, theta, zoom = orbit_params_from_camera(scene.camera)
+    os.makedirs(args.out_dir, exist_ok=True)
+    for frame in range(args.frames):
+        cam = orbit_camera(scene.camera, phi + args.dphi * frame, theta, zoom)
+        fscene = dataclasses.replace(scene, camera=cam)
+        t0 = time.time()
+        _, gbuffer, _ = render_gbuffer_frame(fscene, options)
+        x = jnp.moveaxis(gbuffer, 0, -1)[None]       # (1, H, W, 10)
+        denoised, hidden = denoise(params, bn_state, x, hidden)
+        out = np.clip(np.asarray(denoised[0]), 0, 1)
+        dt = time.time() - t0
+        path = save_png_scaled(os.path.join(args.out_dir, f"frame_{frame:04d}"), out)
+        print(f"frame {frame}: {dt * 1e3:.1f} ms -> {path}")
+
+
+def cmd_datagen(args):
+    _platform_arg(args.platform)
+    from ..data import generate_training_data
+    from ..scene import load_scene, parse_scene_text
+    from ..scene.randomizer import generate_variants
+    base = load_scene(args.scene)
+    scenes = [base]
+    if args.variants:
+        template = open(args.scene).read()
+        base_dir = os.path.dirname(os.path.abspath(args.scene))
+        for text in generate_variants(template, args.variants, args.seed):
+            scenes.append(parse_scene_text(text, base_dir=base_dir))
+    if args.res:
+        scenes = [_rescale(s, args.res) for s in scenes]
+    generate_training_data(
+        scenes, args.out_dir, frames_per_scene=args.frames,
+        gt_spp=args.gt_spp, noise_seeds=args.noise_seeds,
+        options=_render_options(args), png_dump=args.png_dump)
+
+
+def _rescale(scene, res):
+    from ..scene.camera import derive_camera
+    cam = derive_camera((res, res), float(scene.camera.fov[1]),
+                        np.asarray(scene.camera.position),
+                        np.asarray(scene.camera.look_at),
+                        np.asarray(scene.camera.up))
+    return dataclasses.replace(scene, camera=cam)
+
+
+def cmd_randomize(args):
+    from ..scene.randomizer import generate_variants
+    template = open(args.scene).read()
+    os.makedirs(args.out_dir, exist_ok=True)
+    for i, text in enumerate(generate_variants(template, args.count, args.seed)):
+        path = os.path.join(args.out_dir, f"scene_{i + 1}.txt")
+        with open(path, "w") as f:
+            f.write(text)
+        print(path)
+
+
+def cmd_preprocess(args):
+    from ..data import preprocess_png_dirs
+    preprocess_png_dirs(args.root, args.rgb, args.depth, args.albedo,
+                        args.normal, args.gt, args.size)
+
+
+def cmd_train(args):
+    _platform_arg(args.platform)
+    import jax
+
+    from ..config import ModelOptions, TrainOptions
+    from ..data import SequenceDataset, find_max, sequence_batches
+    from ..train import (MetricsLogger, fit, init_train_state,
+                         latest_checkpoint, load_checkpoint, save_checkpoint)
+
+    topt = TrainOptions(lr=args.lr, epochs=args.epochs,
+                        crop_size=args.crop_size, batch_size=args.batch_size)
+    mopt = ModelOptions() if not args.tpu_friendly else ModelOptions.tpu_friendly()
+    state = init_train_state(jax.random.PRNGKey(topt.seed), mopt, topt)
+    if args.resume:
+        ckpt = latest_checkpoint(args.model_dir)
+        if ckpt:
+            state = load_checkpoint(ckpt, state)
+            print(f"resumed from {ckpt} at step {int(state.step)}")
+
+    m = None
+    if args.scenes_meta:
+        s, mv, nz = (int(v) for v in args.scenes_meta.split(","))
+        m = find_max(os.path.join(args.data_dir, "input"), s, mv, nz)
+    dataset = SequenceDataset(os.path.join(args.data_dir, "input"),
+                              os.path.join(args.data_dir, "gt"), m,
+                              crop=args.crop_size > 0, crop_size=args.crop_size)
+    logger = MetricsLogger(args.log_dir)
+
+    if args.data_parallel:
+        from ..parallel import make_dp_train_step, make_mesh, shard_batch
+        mesh = make_mesh()
+        dp_step = make_dp_train_step(mesh, topt)
+        n_dev = mesh.shape["data"]
+        print(f"data-parallel over {n_dev} devices")
+        # simple DP epoch loop
+        import dataclasses as dc
+
+        import jax.numpy as jnp
+
+        from ..train.schedule import step_lr
+        step_count = int(state.step)
+        for epoch in range(args.epochs):
+            lr = step_lr(topt.lr, epoch, topt.lr_step_epochs, topt.lr_gamma)
+            state = dc.replace(state, lr=jnp.asarray(lr, jnp.float32))
+            for i, (x, y) in enumerate(sequence_batches(
+                    dataset, batch_size=n_dev, seed=epoch)):
+                xs, ys = shard_batch(jnp.asarray(x), jnp.asarray(y), mesh)
+                state, metrics = dp_step(state, xs, ys)
+                step_count += 1
+                logger.scalars(step_count,
+                               {k: float(v) for k, v in metrics.items()})
+                if i % 5 == 0:
+                    print(f"epoch {epoch} step {i} total "
+                          f"{float(metrics['total']):.4f}")
+            if epoch % topt.checkpoint_every_epochs == 0:
+                save_checkpoint(args.model_dir, state, epoch)
+        save_checkpoint(args.model_dir, state, "final")
+    else:
+        fit(state,
+            lambda: sequence_batches(dataset, batch_size=topt.batch_size),
+            topt, epochs=args.epochs, logger=logger,
+            checkpoint_fn=lambda s, e: save_checkpoint(args.model_dir, s, e))
+
+
+def cmd_eval(args):
+    """[noisy input | prediction | ground truth] strips -> GIF (test.py:36-55)."""
+    _platform_arg(args.platform)
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import ModelOptions
+    from ..data import SequenceDataset
+    from ..models import apply_frame, init_autoencoder, init_hidden, load_model
+    from ..train import latest_checkpoint, load_checkpoint, init_train_state
+    from ..utils import save_png_scaled
+
+    if args.model.endswith(".npz") and "model_" in os.path.basename(args.model):
+        from ..config import TrainOptions
+        template = init_train_state(jax.random.PRNGKey(0))
+        state = load_checkpoint(args.model, template)
+        params, bn_state = state.params, state.bn_state
+        mopts = ModelOptions()
+    else:
+        params, bn_state, meta = load_model(args.model)
+        mopts = ModelOptions(widths=tuple(meta.get("widths", (32, 43, 57, 76, 101))))
+
+    dataset = SequenceDataset(os.path.join(args.data_dir, "input"),
+                              os.path.join(args.data_dir, "gt"), None)
+    denoise = jax.jit(lambda p, s, x, hd: apply_frame(p, s, x, hd,
+                                                      train=False)[:2])
+    frames = []
+    os.makedirs(args.out_dir, exist_ok=True)
+    for i in range(0, len(dataset), 7):
+        x, y = dataset[i]
+        t, h, w, _ = x.shape
+        hidden = init_hidden(1, h, w, mopts)
+        for j in range(t):
+            pred, hidden = denoise(params, bn_state,
+                                   jnp.asarray(x[j:j + 1]), hidden)
+            strip = np.concatenate([
+                np.clip(x[j, :, :, :3], 0, 1),
+                np.clip(np.asarray(pred[0]), 0, 1),
+                np.clip(y[j], 0, 1)], axis=1)
+            frames.append((strip * 255).astype(np.uint8))
+        if args.max_sequences and len(frames) >= args.max_sequences * 7:
+            break
+    gif_path = os.path.join(args.out_dir, "network_output.gif")
+    try:
+        import imageio
+        imageio.mimsave(gif_path, frames)
+        print(f"wrote {gif_path} ({len(frames)} frames)")
+    except ImportError:
+        for k, fr in enumerate(frames):
+            save_png_scaled(os.path.join(args.out_dir, f"strip_{k:04d}"),
+                            fr / 255.0)
+        print(f"imageio unavailable; wrote {len(frames)} PNG strips")
+
+
+def cmd_export(args):
+    """Checkpoint -> deployable artifact (convert_to_torchscript.py analogue)."""
+    import jax
+
+    from ..config import ModelOptions
+    from ..models import save_model
+    from ..train import init_train_state, load_checkpoint
+    template = init_train_state(jax.random.PRNGKey(0))
+    state = load_checkpoint(args.checkpoint, template)
+    save_model(args.out, state.params, state.bn_state,
+               {"widths": list(ModelOptions().widths)})
+    print(f"exported {args.out}")
+
+
+def cmd_bench(args):
+    """Per-scene timing harness (metrics.xlsx reproduction)."""
+    _platform_arg(args.platform)
+    import jax
+    import jax.numpy as jnp
+
+    from ..render.wavefront import _render_jit, init_render_state
+    results = {}
+    for scene_path in args.scenes:
+        scene = _load_scene_scaled(scene_path, args.res)
+        options = _render_options(args)
+        state = init_render_state(scene)
+        state = _render_jit(scene, state, options, jnp.int32(2))
+        jax.block_until_ready(state.accum)
+        state = init_render_state(scene)
+        t0 = time.time()
+        state = _render_jit(scene, state, options, jnp.int32(args.iters))
+        jax.block_until_ready(state.accum)
+        dt = (time.time() - t0) * 1e3
+        results[os.path.basename(scene_path)] = round(dt, 1)
+        print(f"{scene_path}: {args.iters} iterations in {dt:.1f} ms")
+    print(json.dumps(results))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        prog="python -m ai_path_tracer_denoiser_tpu.app",
+        description="TPU-native path tracer + recurrent denoiser")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def add_common(sp, scene=True):
+        if scene:
+            sp.add_argument("scene", help="scene .txt file")
+        sp.add_argument("--res", type=int, default=None)
+        sp.add_argument("--platform", default=None,
+                        help="jax platform override (e.g. cpu)")
+        for flag in ("stream-compaction", "sort-material", "cache-first-bounce",
+                     "ray-culling", "antialias", "motion-blur", "denoise",
+                     "mesh-normal-view", "fresnels", "dielectric"):
+            dest = flag.replace("-", "_")
+            sp.add_argument(f"--{flag}", dest=dest, action="store_true",
+                            default=None)
+            sp.add_argument(f"--no-{flag}", dest=dest, action="store_false",
+                            default=None)
+        sp.add_argument("--rng", choices=("parity", "fast"), default=None)
+
+    sp = sub.add_parser("render", help="accumulate N spp and save an image")
+    add_common(sp)
+    sp.add_argument("--spp", type=int, default=None)
+    sp.add_argument("--out", default=None)
+    sp.add_argument("--hdr", action="store_true")
+    sp.add_argument("--save-gbuffer", action="store_true")
+    sp.set_defaults(fn=cmd_render)
+
+    sp = sub.add_parser("interactive",
+                        help="headless 1spp+denoise frame loop (orbit camera)")
+    add_common(sp)
+    sp.add_argument("--frames", type=int, default=30)
+    sp.add_argument("--dphi", type=float, default=0.01)
+    sp.add_argument("--model", default=None)
+    sp.add_argument("--out-dir", default="frames")
+    sp.set_defaults(fn=cmd_interactive)
+
+    sp = sub.add_parser("datagen", help="generate training data")
+    add_common(sp)
+    sp.add_argument("--out-dir", required=True)
+    sp.add_argument("--frames", type=int, default=60)
+    sp.add_argument("--gt-spp", type=int, default=512)
+    sp.add_argument("--noise-seeds", type=int, default=1)
+    sp.add_argument("--variants", type=int, default=0)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--png-dump", action="store_true")
+    sp.set_defaults(fn=cmd_datagen)
+
+    sp = sub.add_parser("randomize", help="write randomized scene variants")
+    sp.add_argument("scene")
+    sp.add_argument("--count", type=int, default=30)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--out-dir", default="scenes_generated")
+    sp.set_defaults(fn=cmd_randomize)
+
+    sp = sub.add_parser("preprocess", help="PNG dirs -> npy training pairs")
+    sp.add_argument("--root", required=True)
+    sp.add_argument("--rgb", required=True)
+    sp.add_argument("--depth", required=True)
+    sp.add_argument("--albedo", required=True)
+    sp.add_argument("--normal", required=True)
+    sp.add_argument("--gt", required=True)
+    sp.add_argument("--size", type=int, default=512)
+    sp.set_defaults(fn=cmd_preprocess)
+
+    sp = sub.add_parser("train", help="train the denoiser")
+    sp.add_argument("--data-dir", required=True)
+    sp.add_argument("--model-dir", default="models_out")
+    sp.add_argument("--log-dir", default="logs")
+    sp.add_argument("--epochs", type=int, default=100)
+    sp.add_argument("--lr", type=float, default=1e-3)
+    sp.add_argument("--crop-size", type=int, default=256)
+    sp.add_argument("--batch-size", type=int, default=1)
+    sp.add_argument("--resume", action="store_true")
+    sp.add_argument("--data-parallel", action="store_true")
+    sp.add_argument("--tpu-friendly", action="store_true")
+    sp.add_argument("--scenes-meta", default=None,
+                    help="num_scenes,num_mov,num_noise for find_max")
+    sp.add_argument("--platform", default=None)
+    sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("eval", help="render comparison strips / GIF")
+    sp.add_argument("--data-dir", required=True)
+    sp.add_argument("--model", required=True)
+    sp.add_argument("--out-dir", default="eval_out")
+    sp.add_argument("--max-sequences", type=int, default=8)
+    sp.add_argument("--platform", default=None)
+    sp.set_defaults(fn=cmd_eval)
+
+    sp = sub.add_parser("export", help="checkpoint -> deployable .npz")
+    sp.add_argument("checkpoint")
+    sp.add_argument("--out", default="model_deploy.npz")
+    sp.set_defaults(fn=cmd_export)
+
+    sp = sub.add_parser("bench", help="per-scene timing harness")
+    add_common(sp, scene=False)
+    sp.add_argument("scenes", nargs="+")
+    sp.add_argument("--iters", type=int, default=500)
+    sp.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -34,7 +34,7 @@ def _gbuffer_to_input(gbuf: np.ndarray, clamp_rgb: bool = True) -> np.ndarray:
     depth raw world units — full float precision, unlike the reference's
     8-bit PNG quantization (preprocess.py:37-41).
     """
-    x = np.moveaxis(np.asarray(gbuf, np.float32), 0, -1)
+    x = np.array(np.moveaxis(np.asarray(gbuf, np.float32), 0, -1))
     if clamp_rgb:
         x[..., 0:3] = np.clip(x[..., 0:3], 0.0, 1.0)
         x[..., 7:10] = np.clip(x[..., 7:10], 0.0, 1.0)

@@ -53,13 +53,20 @@ def conv2d(params, x: jnp.ndarray, bf16: bool = False,
     """
     w = params["w"]
     if bf16:
+        # bf16 in / bf16 out (the MXU still accumulates f32 internally);
+        # preferred_element_type=f32 here would make the conv *transpose*
+        # rule see mixed bf16/f32 operands and fail under AD. The explicit
+        # f32 upcast happens at the bias add below.
         x = x.astype(jnp.bfloat16)
         w = w.astype(jnp.bfloat16)
+        pref = None
+    else:
+        pref = _pref_dtype(x)
     if spatial_axis is None:
         y = jax.lax.conv_general_dilated(
             x, w, window_strides=(1, 1), padding="SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=_pref_dtype(x))
+            preferred_element_type=pref)
     else:
         kh = w.shape[0]
         halo = kh // 2
@@ -68,7 +75,9 @@ def conv2d(params, x: jnp.ndarray, bf16: bool = False,
             x, w, window_strides=(1, 1),
             padding=((0, 0), (w.shape[1] // 2, w.shape[1] // 2)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=_pref_dtype(x))
+            preferred_element_type=pref)
+    if bf16:
+        y = y.astype(jnp.float32)
     return y + params["b"]
 
 

@@ -1,0 +1,65 @@
+"""Benchmark: 1-spp path-trace rate on the Cornell box (800x800, depth 8).
+
+Headline metric (BASELINE.json): Mrays/s/chip — camera paths launched per
+second at 1 spp.  Reference: GTX 1080Ti traces the same config in 0.072 s
+per frame => 8.89 Mpaths/s (BASELINE.md).  vs_baseline is ours/reference
+(>1 = faster).
+
+Runs on whatever backend the environment provides (the real TPU chip under
+the driver).  Prints exactly one JSON line.
+"""
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_SECONDS_PER_FRAME = 0.072  # README.md:55-59, imgs/results/infer.png
+WIDTH = HEIGHT = 800
+WARMUP_ITERS = 4
+TIMED_ITERS = 64
+
+
+def main():
+    import dataclasses
+
+    from ai_path_tracer_denoiser_tpu.config import RenderOptions
+    from ai_path_tracer_denoiser_tpu.render.wavefront import (
+        _render_jit, init_render_state)
+    from ai_path_tracer_denoiser_tpu.scene import load_scene
+    from ai_path_tracer_denoiser_tpu.scene.camera import derive_camera
+
+    scene = load_scene("scenes/cornell_box.txt")
+    if scene.camera.resolution != (WIDTH, HEIGHT):
+        cam = derive_camera((WIDTH, HEIGHT), 45.0,
+                            np.asarray(scene.camera.position),
+                            np.asarray(scene.camera.look_at),
+                            np.asarray(scene.camera.up))
+        scene = dataclasses.replace(scene, camera=cam)
+    options = RenderOptions()
+
+    state = init_render_state(scene)
+    # warmup + compile
+    state = _render_jit(scene, state, options, jnp.int32(WARMUP_ITERS))
+    jax.block_until_ready(state.accum)
+
+    t0 = time.perf_counter()
+    state = _render_jit(scene, state, options, jnp.int32(TIMED_ITERS))
+    jax.block_until_ready(state.accum)
+    dt = time.perf_counter() - t0
+
+    seconds_per_frame = dt / TIMED_ITERS
+    mrays = (WIDTH * HEIGHT) / seconds_per_frame / 1e6
+    baseline_mrays = (WIDTH * HEIGHT) / REFERENCE_SECONDS_PER_FRAME / 1e6
+    print(json.dumps({
+        "metric": "pt_1spp_Mrays_per_s_per_chip",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / baseline_mrays, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
