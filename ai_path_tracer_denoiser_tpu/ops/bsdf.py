@@ -4,8 +4,12 @@ The reference dispatches per-thread over material branches (diffuse /
 reflect / refract, interactions.h:170-259).  Divergent control flow wastes
 VPU lanes on TPU, so here every branch is evaluated for every ray as dense
 vector math and the result is chosen with ``jnp.where`` — same outputs, no
-divergence.  RNG draw order matches the reference so the parity RNG yields
-the same decisions:
+divergence.  The compute core is structure-of-arrays (``Vec3`` planes, see
+ops/vec3.py) so every op is full-width f32 VPU arithmetic; the original AoS
+``(N, 3)`` entry point remains as a wrapper.
+
+RNG draw order matches the reference so the parity RNG yields the same
+decisions:
 
   * specular/refractive materials draw 1 uniform (the reflect/refract pdf,
     interactions.h:196),
@@ -21,35 +25,29 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from .vec3 import Vec3, reflect as v_reflect, where as vwhere
+
 _SQRT_ONE_THIRD = 0.5773502691896258
 _TWO_PI = 6.283185307179586
 
 
-def _normalize(v):
-    return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+# ---------------------------------------------------------------------------
+# Primitive BSDF math (SoA)
+# ---------------------------------------------------------------------------
 
-
-def _dot(a, b):
-    return jnp.sum(a * b, axis=-1)
-
-
-def reflect(incident, normal):
-    """glm::reflect: I - 2*dot(N,I)*N."""
-    return incident - 2.0 * _dot(incident, normal)[..., None] * normal
-
-
-def glm_refract(incident, normal, eta):
+def glm_refract_v(incident: Vec3, normal: Vec3, eta):
     """glm::refract semantics: returns 0-vector on total internal reflection."""
-    dt = _dot(normal, incident)
+    dt = normal.dot(incident)
     k = 1.0 - eta * eta * (1.0 - dt * dt)
-    refr = eta[..., None] * incident - (eta * dt + jnp.sqrt(jnp.maximum(k, 0.0)))[..., None] * normal
-    return jnp.where((k < 0)[..., None], 0.0, refr), k >= 0
+    coef = eta * dt + jnp.sqrt(jnp.maximum(k, 0.0))
+    refr = incident * eta - normal * coef
+    ok = k >= 0
+    return vwhere(ok, refr, Vec3.full_like(k, 0.0)), ok
 
 
-def refract_possible(v, n, ni_over_nt):
+def refract_possible_v(v: Vec3, n: Vec3, ni_over_nt):
     """The custom refract() feasibility test (interactions.h:75-85)."""
-    uv = _normalize(v)
-    dt = _dot(uv, n)
+    dt = v.normalized().dot(n)
     disc = 1.0 - ni_over_nt * ni_over_nt * (1.0 - dt * dt)
     return disc > 0
 
@@ -58,7 +56,10 @@ def schlick(cosine, ref_idx):
     """Schlick's reflectance approximation (interactions.h:116-120)."""
     r0 = (1.0 - ref_idx) / (1.0 + ref_idx)
     r0 = r0 * r0
-    return r0 + (1.0 - r0) * jnp.power(1.0 - cosine, 5.0)
+    one_minus = 1.0 - cosine
+    p5 = one_minus * one_minus
+    p5 = p5 * p5 * one_minus
+    return r0 + (1.0 - r0) * p5
 
 
 def fresnel_dielectric(cos_theta_i, eta_i, eta_t):
@@ -78,7 +79,7 @@ def fresnel_dielectric(cos_theta_i, eta_i, eta_t):
     return jnp.where(tir, 1.0, fr)
 
 
-def cosine_hemisphere_direction(normal, u1, u2):
+def cosine_hemisphere_direction_v(normal: Vec3, u1, u2) -> Vec3:
     """Cosine-weighted hemisphere sample (interactions.h:13-44), exact port.
 
     ``normal`` must be unit.  Draw order: up = sqrt(u1), around = u2 * 2pi.
@@ -87,127 +88,177 @@ def cosine_hemisphere_direction(normal, u1, u2):
     over = jnp.sqrt(jnp.maximum(0.0, 1.0 - up * up))
     around = u2 * _TWO_PI
 
-    ax = jnp.abs(normal[..., 0]) < _SQRT_ONE_THIRD
-    ay = jnp.abs(normal[..., 1]) < _SQRT_ONE_THIRD
-    ex = jnp.zeros_like(normal).at[..., 0].set(1.0)
-    ey = jnp.zeros_like(normal).at[..., 1].set(1.0)
-    ez = jnp.zeros_like(normal).at[..., 2].set(1.0)
-    not_normal = jnp.where(ax[..., None], ex, jnp.where(ay[..., None], ey, ez))
+    ax = jnp.abs(normal.x) < _SQRT_ONE_THIRD
+    ay = jnp.abs(normal.y) < _SQRT_ONE_THIRD
+    one = jnp.ones_like(normal.x)
+    zero = jnp.zeros_like(normal.x)
+    # not_normal = ex if |nx| small else ey if |ny| small else ez
+    not_normal = Vec3(jnp.where(ax, one, zero),
+                      jnp.where(~ax & ay, one, zero),
+                      jnp.where(~ax & ~ay, one, zero))
 
-    perp1 = _normalize(jnp.cross(normal, not_normal))
-    perp2 = _normalize(jnp.cross(normal, perp1))
-    return (up[..., None] * normal
-            + (jnp.cos(around) * over)[..., None] * perp1
-            + (jnp.sin(around) * over)[..., None] * perp2)
+    perp1 = normal.cross(not_normal).normalized()
+    perp2 = normal.cross(perp1).normalized()
+    return (normal * up
+            + perp1 * (jnp.cos(around) * over)
+            + perp2 * (jnp.sin(around) * over))
 
 
-def scatter_ray(ray_dir, point, surface_normal, mat, u1, u2,
-                fresnels: bool = True, dielectric: bool = False,
-                mesh_normal_view: bool = False):
-    """One scatter event for a ray batch.
+# ---------------------------------------------------------------------------
+# Scatter (SoA core)
+# ---------------------------------------------------------------------------
+
+def scatter_ray_v(ray_dir: Vec3, point: Vec3, surface_normal: Vec3, mat,
+                  u1, u2, fresnels: bool = True, dielectric: bool = False,
+                  mesh_normal_view: bool = False):
+    """One scatter event for a ray batch (SoA).
 
     Args:
-      ray_dir: (N,3) incoming directions.
-      point:   (N,3) intersection points.
-      surface_normal: (N,3) unit shading normals.
-      mat: dict of per-ray gathered material fields: color, specular_color,
-        has_reflective, has_refractive, index_of_refraction (each (N, ...)).
+      ray_dir / point / surface_normal: Vec3 of (N,) planes.
+      mat: dict of per-ray gathered material planes — color (Vec3),
+        specular_color (Vec3), has_reflective, has_refractive,
+        index_of_refraction (each (N,)).
       u1, u2: (N,) uniforms — the first two draws of the per-ray engine.
 
-    Returns (new_dir, new_origin, color_multiplier), matching scatterRay
-    (interactions.h:170-259) including its 0.01 origin offset on the default
-    path (interactions.h:253) vs 0.001 on the dielectric path.
+    Returns (new_dir, new_origin, color_multiplier) as Vec3, matching
+    scatterRay (interactions.h:170-259) including its 0.01 origin offset on
+    the default path (interactions.h:253) vs 0.001 on the dielectric path.
     """
     if dielectric:
-        return _scatter_dielectric(ray_dir, point, surface_normal, mat, u1, u2)
-    return _scatter_default(ray_dir, point, surface_normal, mat, u1, u2,
-                            fresnels, mesh_normal_view)
+        return _scatter_dielectric_v(ray_dir, point, surface_normal, mat, u1, u2)
+    return _scatter_default_v(ray_dir, point, surface_normal, mat, u1, u2,
+                              fresnels, mesh_normal_view)
 
 
-def _scatter_default(ray_dir, point, normal, mat, u1, u2,
-                     fresnels: bool, mesh_normal_view: bool):
+def _scatter_default_v(ray_dir: Vec3, point: Vec3, normal: Vec3, mat,
+                       u1, u2, fresnels: bool, mesh_normal_view: bool):
     spec_branch = (mat["has_reflective"] != 0.0) | (mat["has_refractive"] != 0.0)
 
     # --- specular / refractive branch (interactions.h:195-243) ---
     pdf = u1
-    cosine = _dot(_normalize(ray_dir), normal)
+    cosine = ray_dir.normalized().dot(normal)
     entering = cosine <= 0
-    n_ref = jnp.where(entering[..., None], normal, -normal)
+    n_ref = vwhere(entering, normal, -normal)
     ior = mat["index_of_refraction"]
     ratio = jnp.where(entering, 1.0 / ior, ior)
     cos_abs = jnp.abs(cosine)
 
     reflective_prob = mat["has_reflective"]
     if fresnels:
-        can_refract = refract_possible(ray_dir, n_ref, ratio)
+        can_refract = refract_possible_v(ray_dir, n_ref, ratio)
         reflective_prob = jnp.where(can_refract, schlick(cos_abs, ratio), 1.0)
 
     do_reflect = pdf < reflective_prob
-    refl_dir = _normalize(reflect(ray_dir, normal))
-    refr_dir_raw, refr_ok = glm_refract(ray_dir, n_ref, ratio)
+    refl_dir = v_reflect(ray_dir, normal).normalized()
+    refr_dir_raw, refr_ok = glm_refract_v(ray_dir, n_ref, ratio)
     # normalize only where valid; TIR inside the refract branch is dead code
     # under FRESNELS (reflective_prob==1 forces the reflect branch) but kept
     # for the fresnels=False configuration.
-    refr_dir = jnp.where(refr_ok[..., None], _normalize(
-        jnp.where(refr_ok[..., None], refr_dir_raw, refl_dir)), refl_dir)
-    spec_dir = jnp.where(do_reflect[..., None], refl_dir, refr_dir)
-    spec_color = jnp.where((do_reflect | ~refr_ok)[..., None],
-                           mat["specular_color"], mat["color"])
+    refr_dir = vwhere(refr_ok, vwhere(refr_ok, refr_dir_raw, refl_dir).normalized_safe(),
+                      refl_dir)
+    spec_dir = vwhere(do_reflect, refl_dir, refr_dir)
+    spec_color = vwhere(do_reflect | ~refr_ok, mat["specular_color"], mat["color"])
 
     # --- diffuse branch (interactions.h:245-251) ---
-    diff_dir = _normalize(cosine_hemisphere_direction(normal, u1, u2))
+    diff_dir = cosine_hemisphere_direction_v(normal, u1, u2).normalized()
     diff_color = mat["color"]
 
-    new_dir = jnp.where(spec_branch[..., None], spec_dir, diff_dir)
-    color = jnp.where(spec_branch[..., None], spec_color, diff_color)
+    new_dir = vwhere(spec_branch, spec_dir, diff_dir)
+    color = vwhere(spec_branch, spec_color, diff_color)
     if mesh_normal_view:
-        color = jnp.abs(normal)
+        color = normal.abs()
     new_origin = point + new_dir * 0.01
     return new_dir, new_origin, color
 
 
-def _scatter_dielectric(ray_dir, point, normal, mat, u1, u2):
+def _scatter_dielectric_v(ray_dir: Vec3, point: Vec3, normal: Vec3, mat, u1, u2):
     """PBRT-style path (interactions.h:121-192): Glass/Reflect/Refract/Lambert."""
     refl = mat["has_reflective"] > 1e-5
     refr = mat["has_refractive"] > 1e-5
     ior = mat["index_of_refraction"]
 
     # SpecularReflection_BxDF (interactions.h:121-125)
-    refl_dir = reflect(ray_dir, normal)
+    refl_dir = v_reflect(ray_dir, normal)
     refl_color = mat["specular_color"]
 
     # SpecularRefraction_BxDF (interactions.h:127-146)
     wo = ray_dir
-    leaving = _dot(wo, normal) > 0.0
-    n_r = jnp.where(leaving[..., None], -normal, normal)
+    leaving = wo.dot(normal) > 0.0
+    n_r = vwhere(leaving, -normal, normal)
     eta = jnp.where(leaving, ior, 1.0 / ior)
-    refr_dir_raw, refr_valid = glm_refract(_normalize(wo), n_r, eta)
+    refr_dir_raw, refr_valid = glm_refract_v(wo.normalized(), n_r, eta)
     tir = ~refr_valid
-    refr_dir = jnp.where(tir[..., None], reflect(wo, normal), refr_dir_raw)
-    refr_color = jnp.where(tir[..., None], 0.0, 1.0) * mat["specular_color"]
+    refr_dir = vwhere(tir, v_reflect(wo, normal), refr_dir_raw)
+    refr_color = vwhere(tir, Vec3.full_like(u1, 0.0), Vec3.full_like(u1, 1.0)) \
+        * mat["specular_color"]
 
     # Glass_BxDF (interactions.h:148-163)
-    v_dot_n = _dot(-ray_dir, normal)
+    v_dot_n = (-ray_dir).dot(normal)
     g_leaving = v_dot_n < 0.0
     e_i = jnp.where(g_leaving, ior, 1.0)
     e_t = jnp.where(g_leaving, 1.0, ior)
     fresnel = fresnel_dielectric(v_dot_n, e_i, e_t) / jnp.abs(v_dot_n)
     glass_reflect = u1 < fresnel
-    glass_dir = jnp.where(glass_reflect[..., None], refl_dir, refr_dir)
-    glass_color = jnp.where(glass_reflect[..., None], refl_color, refr_color)
+    glass_dir = vwhere(glass_reflect, refl_dir, refr_dir)
+    glass_color = vwhere(glass_reflect, refl_color, refr_color)
 
     # Lambert_BxDF (interactions.h:164-168)
-    diff_dir = cosine_hemisphere_direction(_normalize(normal), u1, u2)
+    diff_dir = cosine_hemisphere_direction_v(normal.normalized(), u1, u2)
     diff_color = mat["color"]
 
     is_glass = refl & refr
     is_refl = refl & ~refr
     is_refr = ~refl & refr
-    new_dir = jnp.where(is_glass[..., None], glass_dir,
-                        jnp.where(is_refl[..., None], refl_dir,
-                                  jnp.where(is_refr[..., None], refr_dir, diff_dir)))
-    color = jnp.where(is_glass[..., None], glass_color,
-                      jnp.where(is_refl[..., None], refl_color,
-                                jnp.where(is_refr[..., None], refr_color, diff_color)))
+    new_dir = vwhere(is_glass, glass_dir,
+                     vwhere(is_refl, refl_dir,
+                            vwhere(is_refr, refr_dir, diff_dir)))
+    color = vwhere(is_glass, glass_color,
+                   vwhere(is_refl, refl_color,
+                          vwhere(is_refr, refr_color, diff_color)))
     new_origin = point + 0.001 * new_dir
     return new_dir, new_origin, color
+
+
+# ---------------------------------------------------------------------------
+# AoS wrappers — original (N, 3) API for tests and external callers
+# ---------------------------------------------------------------------------
+
+def _normalize(v):
+    return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+
+
+def reflect(incident, normal):
+    """glm::reflect: I - 2*dot(N,I)*N (AoS)."""
+    return v_reflect(Vec3.from_rows(incident), Vec3.from_rows(normal)).stack()
+
+
+def glm_refract(incident, normal, eta):
+    refr, ok = glm_refract_v(Vec3.from_rows(incident), Vec3.from_rows(normal), eta)
+    return refr.stack(), ok
+
+
+def refract_possible(v, n, ni_over_nt):
+    return refract_possible_v(Vec3.from_rows(v), Vec3.from_rows(n), ni_over_nt)
+
+
+def cosine_hemisphere_direction(normal, u1, u2):
+    return cosine_hemisphere_direction_v(Vec3.from_rows(normal), u1, u2).stack()
+
+
+def _mat_to_planes(mat):
+    out = dict(mat)
+    for key in ("color", "specular_color"):
+        out[key] = Vec3.from_rows(mat[key])
+    return out
+
+
+def scatter_ray(ray_dir, point, surface_normal, mat, u1, u2,
+                fresnels: bool = True, dielectric: bool = False,
+                mesh_normal_view: bool = False):
+    """AoS wrapper over :func:`scatter_ray_v` — (N, 3) in/out."""
+    d, o, c = scatter_ray_v(
+        Vec3.from_rows(ray_dir), Vec3.from_rows(point),
+        Vec3.from_rows(surface_normal), _mat_to_planes(mat), u1, u2,
+        fresnels=fresnels, dielectric=dielectric,
+        mesh_normal_view=mesh_normal_view)
+    return d.stack(), o.stack(), c.stack()

@@ -2,11 +2,17 @@
 
 Behavioral ports of intersections.h (box slab test :52-94, sphere quadratic
 :106-148, glm one-sided Moller-Trumbore triangle :159-172, ray/AABB slab
-:175-200), reshaped for the TPU: instead of one thread per ray looping over
-primitives, every function evaluates a whole ray batch against a primitive
-batch as dense array math, and reductions pick the winner.  Division by zero
-follows IEEE (inf), exactly like the reference's unguarded slab divides
-(intersections.h:64-66).
+:175-200), reshaped for the TPU.  Instead of one thread per ray looping over
+primitives, every function evaluates a whole ray batch against primitives as
+dense array math, and running minima pick the winner.
+
+The compute core is **structure-of-arrays** (``Vec3`` of ``(N,)`` planes,
+see ops/vec3.py): every transform, slab divide, dot and cross is full-width
+f32 VPU elementwise arithmetic.  This is both ~100x faster on TPU than the
+AoS ``(N, 3)`` formulation (which XLA mis-tiles and routes through bf16 MXU
+passes, breaking thin-slab hit tests) and exactly matches the reference's
+scalar f32 semantics.  The original AoS entry points are kept as thin
+wrappers for tests and external callers.
 
 The scene-level ``intersect_scene`` mirrors computeIntersections
 (pathtrace.cu:200-306): analytic geoms first (first minimal t wins), then the
@@ -25,92 +31,83 @@ unconditionally); it is also never consumed.  We record the winner's.
 """
 from __future__ import annotations
 
-import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from ..scene.structs import CUBE, SPHERE, Geoms, MeshData
+from .vec3 import Vec3, reflect, where as vwhere, xform_dir, xform_point
 
 _EPS_POINT = 1e-4       # getPointOnRay backoff (intersections.h:27-29)
 _FLT_EPS = jnp.float32(1.1920929e-07)
 _BIG = jnp.float32(1e38)
 
 
-def _xform_point(m: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
-    """(4,4) @ [p, 1] -> first 3 components. Batched over leading dims of p."""
-    return p @ m[:3, :3].T + m[:3, 3]
-
-
-def _xform_dir(m: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
-    return d @ m[:3, :3].T
-
-
-def _normalize(v: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
-    return v / jnp.linalg.norm(v, axis=axis, keepdims=True)
-
-
 # ---------------------------------------------------------------------------
-# Unit-cube slab test (intersections.h:52-94)
+# Unit-cube slab test (intersections.h:52-94) — SoA core
 # ---------------------------------------------------------------------------
 
-def box_intersect(transform: jnp.ndarray, inverse_transform: jnp.ndarray,
-                  ray_o: jnp.ndarray, ray_d: jnp.ndarray):
-    """Ray batch vs one transformed unit cube.
+def box_intersect_v(transform, inverse_transform, o: Vec3, d: Vec3):
+    """Ray planes vs one transformed unit cube.
 
     Returns (t, point, normal, outside): t is the *world-space* distance
-    (length(origin - hit)), -1 on miss.
+    (length(origin - hit)), -1 on miss.  All outputs are planes/Vec3.
     """
-    q_o = _xform_point(inverse_transform, ray_o)            # (..., 3)
-    q_d = _normalize(_xform_dir(inverse_transform, ray_d))  # (..., 3)
+    qo = xform_point(inverse_transform, o)
+    qd = xform_dir(inverse_transform, d).normalized()
 
-    t1 = (-0.5 - q_o) / q_d                                  # (..., 3)
-    t2 = (0.5 - q_o) / q_d
-    ta = jnp.minimum(t1, t2)
-    tb = jnp.maximum(t1, t2)
-    axis_sign = jnp.where(t2 < t1, 1.0, -1.0)                # n[xyz] per axis
+    # Per-axis slab intervals; IEEE inf on axis-parallel rays, exactly like
+    # the reference's unguarded divides (intersections.h:64-66).
+    axes = []
+    for q_o, q_d in ((qo.x, qd.x), (qo.y, qd.y), (qo.z, qd.z)):
+        t1 = (-0.5 - q_o) / q_d
+        t2 = (0.5 - q_o) / q_d
+        ta = jnp.minimum(t1, t2)
+        tb = jnp.maximum(t1, t2)
+        sign = jnp.where(t2 < t1, 1.0, -1.0)
+        axes.append((jnp.where(ta > 0, ta, -_BIG), tb, sign))
+    (ta0, tb0, s0), (ta1, tb1, s1), (ta2, tb2, s2) = axes
+    tmin = jnp.maximum(jnp.maximum(ta0, ta1), ta2)
+    tmax = jnp.minimum(jnp.minimum(tb0, tb1), tb2)
 
-    ta_pos = jnp.where(ta > 0, ta, -_BIG)
-    tmin = jnp.max(ta_pos, axis=-1)                          # (...,)
-    tmin_axis = jnp.argmax(ta_pos, axis=-1)
-    tmax = jnp.min(tb, axis=-1)
-    tmax_axis = jnp.argmin(tb, axis=-1)
-
-    def onehot_normal(axis_idx):
-        return jax.nn.one_hot(axis_idx, 3, dtype=ray_o.dtype) * jnp.take_along_axis(
-            axis_sign, axis_idx[..., None], axis=-1)
-
-    tmin_n = onehot_normal(tmin_axis)
-    tmax_n = onehot_normal(tmax_axis)
+    # First-wins argmax/argmin over the 3 axes as elementwise selects
+    # (replaces one_hot + take_along_axis — gathers are the TPU killer).
+    a0 = ta0 >= tmin
+    a1 = (~a0) & (ta1 >= tmin)
+    a2 = ~(a0 | a1)
+    n_min = Vec3(jnp.where(a0, s0, 0.0), jnp.where(a1, s1, 0.0),
+                 jnp.where(a2, s2, 0.0))
+    b0 = tb0 <= tmax
+    b1 = (~b0) & (tb1 <= tmax)
+    b2 = ~(b0 | b1)
+    n_max = Vec3(jnp.where(b0, s0, 0.0), jnp.where(b1, s1, 0.0),
+                 jnp.where(b2, s2, 0.0))
 
     hit = (tmax >= tmin) & (tmax > 0)
     inside = tmin <= 0
     t_obj = jnp.where(inside, tmax, tmin)
-    n_obj = jnp.where(inside[..., None], tmax_n, tmin_n)
-    outside = ~inside
+    n_obj = vwhere(inside, n_max, n_min)
 
-    obj_point = q_o + (t_obj[..., None] - _EPS_POINT) * q_d
-    point = _xform_point(transform, obj_point)
-    normal = _normalize(_xform_dir(transform, n_obj))
-    t_world = jnp.linalg.norm(ray_o - point, axis=-1)
-    t = jnp.where(hit, t_world, -1.0)
-    return t, point, normal, outside
+    obj_point = qo + qd * (t_obj - _EPS_POINT)
+    point = xform_point(transform, obj_point)
+    normal = xform_dir(transform, n_obj).normalized()
+    t = jnp.where(hit, (o - point).norm(), -1.0)
+    return t, point, normal, ~inside
 
 
 # ---------------------------------------------------------------------------
-# Unit-sphere quadratic (intersections.h:106-148)
+# Unit-sphere quadratic (intersections.h:106-148) — SoA core
 # ---------------------------------------------------------------------------
 
-def sphere_intersect(transform: jnp.ndarray, inverse_transform: jnp.ndarray,
-                     inv_transpose: jnp.ndarray,
-                     ray_o: jnp.ndarray, ray_d: jnp.ndarray):
-    """Ray batch vs one transformed radius-0.5 sphere (world-distance t)."""
-    ro = _xform_point(inverse_transform, ray_o)
-    rd = _normalize(_xform_dir(inverse_transform, ray_d))
+def sphere_intersect_v(transform, inverse_transform, inv_transpose,
+                       o: Vec3, d: Vec3):
+    """Ray planes vs one transformed radius-0.5 sphere (world-distance t)."""
+    ro = xform_point(inverse_transform, o)
+    rd = xform_dir(inverse_transform, d).normalized()
 
-    v_dot_d = jnp.sum(ro * rd, axis=-1)
-    radicand = v_dot_d * v_dot_d - (jnp.sum(ro * ro, axis=-1) - 0.25)
+    v_dot_d = ro.dot(rd)
+    radicand = v_dot_d * v_dot_d - (ro.dot(ro) - 0.25)
     sq = jnp.sqrt(jnp.maximum(radicand, 0.0))
     t1 = -v_dot_d + sq
     t2 = -v_dot_d - sq
@@ -121,61 +118,176 @@ def sphere_intersect(transform: jnp.ndarray, inverse_transform: jnp.ndarray,
     outside = both_pos
     hit = (radicand >= 0) & ~both_neg
 
-    obj_point = ro + (t_obj[..., None] - _EPS_POINT) * rd
-    point = _xform_point(transform, obj_point)
-    normal = _normalize(_xform_dir(inv_transpose, obj_point))
-    normal = jnp.where(outside[..., None], normal, -normal)
-    t_world = jnp.linalg.norm(ray_o - point, axis=-1)
-    t = jnp.where(hit, t_world, -1.0)
+    obj_point = ro + rd * (t_obj - _EPS_POINT)
+    point = xform_point(transform, obj_point)
+    normal = xform_dir(inv_transpose, obj_point).normalized()
+    normal = vwhere(outside, normal, -normal)
+    t = jnp.where(hit, (o - point).norm(), -1.0)
     return t, point, normal, outside
 
 
 # ---------------------------------------------------------------------------
-# Triangle: one-sided Moller-Trumbore, glm convention (intersect.inl:37-73)
+# Scene-level analytic intersection — unrolled running-min over geoms
 # ---------------------------------------------------------------------------
 
-def triangle_intersect(v: jnp.ndarray, n: jnp.ndarray,
-                       ray_o: jnp.ndarray, ray_d: jnp.ndarray):
-    """Ray batch (N,3) vs face batch (F,3,3) -> (N,F) results.
+def intersect_geoms_v(geoms: Geoms, o: Vec3, d: Vec3,
+                      types: Optional[Tuple[int, ...]] = None):
+    """All rays vs all analytic geoms; min-t with first-geom tie-break.
 
-    Returns (t, point (N,F,3), normal (N,F,3)); t=-1 on miss.  t is the ray
-    parameter (== distance when ray_d is unit), with no epsilon backoff —
-    matching triangleIntersectionTest (intersections.h:159-172).
+    The per-thread ``t_min > t`` loop of computeIntersections
+    (pathtrace.cu:230-254) becomes a python-unrolled running minimum — G
+    where-selects over full planes, no argmin/gather.  ``types`` (static
+    SPHERE/CUBE per geom) defaults to ``geoms.type_tuple``; if unavailable,
+    both tests run per geom and a traced select picks one.
     """
-    v0, v1, v2 = v[:, 0], v[:, 1], v[:, 2]                   # (F, 3)
+    if types is None:
+        types = geoms.type_tuple or None
+    g_count = geoms.transform.shape[0]
+
+    t_best = jnp.full_like(o.x, jnp.inf)
+    p_best = Vec3.full_like(o.x, 0.0)
+    n_best = Vec3.full_like(o.x, 0.0)
+    out_best = jnp.zeros(o.x.shape, bool)
+    mat_best = jnp.full(o.x.shape, -1, jnp.int32)
+
+    for i in range(g_count):
+        m = geoms.transform[i]
+        inv = geoms.inverse_transform[i]
+        if types is not None:
+            if types[i] == CUBE:
+                t, p, n, out = box_intersect_v(m, inv, o, d)
+            else:
+                t, p, n, out = sphere_intersect_v(
+                    m, inv, geoms.inv_transpose[i], o, d)
+        else:
+            tb_, pb_, nb_, ob_ = box_intersect_v(m, inv, o, d)
+            ts_, ps_, ns_, os_ = sphere_intersect_v(
+                m, inv, geoms.inv_transpose[i], o, d)
+            is_cube = geoms.type[i] == CUBE
+            t = jnp.where(is_cube, tb_, ts_)
+            p = vwhere(is_cube, pb_, ps_)
+            n = vwhere(is_cube, nb_, ns_)
+            out = jnp.where(is_cube, ob_, os_)
+        t = jnp.where(t > 0.0, t, jnp.inf)
+        better = t < t_best            # strict: first geom wins ties
+        t_best = jnp.where(better, t, t_best)
+        p_best = vwhere(better, p, p_best)
+        n_best = vwhere(better, n, n_best)
+        out_best = jnp.where(better, out, out_best)
+        mat_best = jnp.where(better, geoms.material_id[i], mat_best)
+    return t_best, p_best, n_best, out_best, mat_best
+
+
+# ---------------------------------------------------------------------------
+# Triangle mesh: chunked Moller-Trumbore + winner re-intersection
+# ---------------------------------------------------------------------------
+
+def _triangle_t(v0: Vec3, v1: Vec3, v2: Vec3, o: Vec3, d: Vec3):
+    """(N,) rays x (F,) faces -> (N, F) Moller-Trumbore (glm convention).
+
+    Ray planes enter with shape (N, 1), face planes with (1, F); every
+    product below broadcasts to a dense (N, F) tile.  Returns (t, u, w, hit)
+    with t = ray parameter (== distance for unit d), matching
+    triangleIntersectionTest's epsilon-free result (intersections.h:159-172).
+    """
     e1 = v1 - v0
     e2 = v2 - v0
-    # p = cross(dir, e2): (N, F, 3)
-    p = jnp.cross(ray_d[:, None, :], e2[None, :, :])
-    a = jnp.sum(e1[None] * p, axis=-1)                       # (N, F)
-    front = a >= _FLT_EPS                                    # glm: a < eps -> miss
+    p = d.cross(e2)
+    a = e1.dot(p)
+    front = a >= _FLT_EPS                      # glm: a < eps -> miss
     f = 1.0 / a
-    s = ray_o[:, None, :] - v0[None]                         # (N, F, 3)
-    u = f * jnp.sum(s * p, axis=-1)
-    q = jnp.cross(s, e1[None, :, :])
-    w = f * jnp.sum(ray_d[:, None, :] * q, axis=-1)
-    t = f * jnp.sum(e2[None] * q, axis=-1)
+    s = o - v0
+    u = f * s.dot(p)
+    q = s.cross(e1)
+    w = f * d.dot(q)
+    t = f * e2.dot(q)
     hit = front & (u >= 0) & (u <= 1) & (w >= 0) & (u + w <= 1) & (t >= 0)
+    return t, u, w, hit
+
+
+def mesh_intersect_v(mesh: MeshData, o: Vec3, d: Vec3, chunk: int = 2048):
+    """Closest mesh hit for a ray batch: two-phase, gather-light.
+
+    Phase 1 scans face chunks carrying only (t_min, winning face index) —
+    the (N, F) product is pure elementwise broadcasting plus a lane-axis
+    argmin, the reference's per-thread running ``t_min`` loop
+    (pathtrace.cu:259-268) turned inside out.  Phase 2 gathers the winner's
+    9+9 vertex/normal components once per ray and recomputes u/w for the
+    barycentric point and normal — O(N) gathers instead of carrying
+    (N, F, 3) attribute tiles.
+    """
+    n_rays = o.x.shape[0]
+    f_pad = mesh.padded_count
+    chunk = min(chunk, f_pad)
+    n_chunks = (f_pad + chunk - 1) // chunk
+    pad_to = n_chunks * chunk
+
+    def pad0(x):
+        cfg = [(0, pad_to - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, cfg)
+
+    verts = pad0(mesh.vertices)                # (Fp, 3, 3)
+    valid = pad0(mesh.valid)
+    o2 = Vec3(o.x[:, None], o.y[:, None], o.z[:, None])
+    d2 = Vec3(d.x[:, None], d.y[:, None], d.z[:, None])
+
+    def face_planes(vs, corner):
+        return Vec3(vs[:, corner, 0][None, :], vs[:, corner, 1][None, :],
+                    vs[:, corner, 2][None, :])
+
+    def scan_body(carry, xs):
+        t_min, f_best = carry
+        vs, ok, base = xs
+        t, u, w, hit = _triangle_t(face_planes(vs, 0), face_planes(vs, 1),
+                                   face_planes(vs, 2), o2, d2)
+        t = jnp.where(hit & ok[None, :] & (t > 0.0), t, jnp.inf)
+        j = jnp.argmin(t, axis=1)
+        t_c = jnp.min(t, axis=1)
+        better = t_c < t_min
+        return (jnp.where(better, t_c, t_min),
+                jnp.where(better, j.astype(jnp.int32) + base, f_best)), None
+
+    init = (jnp.full((n_rays,), jnp.inf),
+            jnp.zeros((n_rays,), jnp.int32))
+    if n_chunks == 1:
+        carry, _ = scan_body(init, (verts, valid, jnp.int32(0)))
+    else:
+        xs = (verts.reshape(n_chunks, chunk, 3, 3),
+              valid.reshape(n_chunks, chunk),
+              jnp.arange(n_chunks, dtype=jnp.int32) * chunk)
+        carry, _ = jax.lax.scan(scan_body, init, xs)
+    t_min, f_best = carry
+
+    # Phase 2: re-intersect each ray's single winning face.
+    def corner(arr, c):
+        return Vec3(arr[f_best, c, 0], arr[f_best, c, 1], arr[f_best, c, 2])
+
+    v0, v1, v2 = (corner(verts, c) for c in range(3))
+    norms = pad0(mesh.normals)
+    n0, n1, n2 = (corner(norms, c) for c in range(3))
+    _, u, w, _ = _triangle_t(v0, v1, v2, o, d)
 
     # Reference's rotated barycentric convention for the point
-    # (intersections.h:166): x*v0 + y*v1 + (1-x-y)*v2.
-    uw = u[..., None]
-    wv = w[..., None]
-    point = uw * v0[None] + wv * v1[None] + (1 - uw - wv) * v2[None]
-    n0, n1, n2 = n[:, 0], n[:, 1], n[:, 2]
-    normal = _normalize((1 - uw - wv) * n0[None] + uw * n1[None] + wv * n2[None])
-    t = jnp.where(hit, t, -1.0)
-    return t, point, normal
+    # (intersections.h:166): x*v0 + y*v1 + (1-x-y)*v2; standard for normal.
+    point = v0 * u + v1 * w + v2 * (1.0 - u - w)
+    normal = (n0 * (1.0 - u - w) + n1 * u + n2 * w).normalized_safe()
+    mat = pad0(mesh.material_id)[f_best]
+    mat = jnp.where(jnp.isfinite(t_min), mat, -1)
+    return t_min, point, normal, mat
 
 
-def ray_aabb_intersect(ray_o: jnp.ndarray, ray_d: jnp.ndarray,
-                       lb: jnp.ndarray, ub: jnp.ndarray) -> jnp.ndarray:
-    """Slab AABB test (intersections.h:175-200) over a ray batch -> bool."""
-    inv_d = 1.0 / ray_d
-    t_lb = (lb - ray_o) * inv_d
-    t_ub = (ub - ray_o) * inv_d
-    tmin = jnp.max(jnp.minimum(t_lb, t_ub), axis=-1)
-    tmax = jnp.min(jnp.maximum(t_lb, t_ub), axis=-1)
+def ray_aabb_intersect_v(o: Vec3, d: Vec3, lb, ub) -> jnp.ndarray:
+    """Slab AABB test (intersections.h:175-200) over ray planes -> bool."""
+    tmin = jnp.full_like(o.x, -jnp.inf)
+    tmax = jnp.full_like(o.x, jnp.inf)
+    for oc, dc, lo, hi in ((o.x, d.x, lb[0], ub[0]),
+                           (o.y, d.y, lb[1], ub[1]),
+                           (o.z, d.z, lb[2], ub[2])):
+        inv = 1.0 / dc
+        t1 = (lo - oc) * inv
+        t2 = (hi - oc) * inv
+        tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
+        tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
     return (tmax >= 0) & (tmin <= tmax)
 
 
@@ -183,129 +295,103 @@ def ray_aabb_intersect(ray_o: jnp.ndarray, ray_d: jnp.ndarray,
 # Scene-level intersection (computeIntersections, pathtrace.cu:200-306)
 # ---------------------------------------------------------------------------
 
-def _intersect_geoms(geoms: Geoms, ray_o: jnp.ndarray, ray_d: jnp.ndarray):
-    """All rays vs all analytic geoms; min-t with first-geom tie-break."""
-
-    def per_geom(gtype, m, inv, inv_t):
-        tb, pb, nb, ob = box_intersect(m, inv, ray_o, ray_d)
-        ts, ps, ns, os_ = sphere_intersect(m, inv, inv_t, ray_o, ray_d)
-        is_cube = gtype == CUBE
-        t = jnp.where(is_cube, tb, ts)
-        point = jnp.where(is_cube, pb, ps)
-        normal = jnp.where(is_cube, nb, ns)
-        outside = jnp.where(is_cube, ob, os_)
-        return t, point, normal, outside
-
-    t, point, normal, outside = jax.vmap(per_geom)(
-        geoms.type, geoms.transform, geoms.inverse_transform, geoms.inv_transpose)
-    # t: (G, N). Replace misses by +inf, take first argmin over geoms
-    # (matches the strict `t_min > t` loop at pathtrace.cu:249).
-    t_valid = jnp.where(t > 0.0, t, jnp.inf)
-    best = jnp.argmin(t_valid, axis=0)                      # (N,)
-    take = functools.partial(jnp.take_along_axis, indices=best[None], axis=0)
-    t_best = jnp.squeeze(take(t_valid), 0)
-    point_b = jnp.squeeze(jnp.take_along_axis(point, best[None, :, None], axis=0), 0)
-    normal_b = jnp.squeeze(jnp.take_along_axis(normal, best[None, :, None], axis=0), 0)
-    outside_b = jnp.squeeze(take(outside), 0)
-    mat_b = geoms.material_id[best]
-    return t_best, point_b, normal_b, outside_b, mat_b
-
-
-def _intersect_mesh_chunked(mesh: MeshData, ray_o: jnp.ndarray, ray_d: jnp.ndarray,
-                            chunk: int = 512):
-    """Min-t over all faces, scanning face chunks to bound memory.
-
-    The (N, F) brute-force product is the reference's inner loop
-    (pathtrace.cu:259-268); here each chunk is a dense (N, chunk) VPU tile
-    and a running minimum is carried — the TPU analogue of the per-thread
-    running ``t_min``.
-    """
-    n_rays = ray_o.shape[0]
-    f_pad = mesh.padded_count
-    chunk = min(chunk, f_pad)
-    n_chunks = (f_pad + chunk - 1) // chunk
-    # Pad the face axis to a multiple of chunk (already lane-padded).
-    pad_to = n_chunks * chunk
-
-    def pad0(x):
-        cfg = [(0, pad_to - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
-        return jnp.pad(x, cfg)
-
-    verts = pad0(mesh.vertices).reshape(n_chunks, chunk, 3, 3)
-    norms = pad0(mesh.normals).reshape(n_chunks, chunk, 3, 3)
-    mats = pad0(mesh.material_id).reshape(n_chunks, chunk)
-    valid = pad0(mesh.valid).reshape(n_chunks, chunk)
-
-    init = (jnp.full((n_rays,), jnp.inf),
-            jnp.zeros((n_rays, 3)),
-            jnp.zeros((n_rays, 3)),
-            jnp.full((n_rays,), -1, jnp.int32))
-
-    def body(carry, xs):
-        t_min, pt, nrm, mat = carry
-        v, n, m, ok = xs
-        t, point, normal = triangle_intersect(v, n, ray_o, ray_d)
-        t = jnp.where(ok[None, :], t, -1.0)
-        t = jnp.where(t > 0.0, t, jnp.inf)
-        j = jnp.argmin(t, axis=1)                            # (N,)
-        t_c = jnp.take_along_axis(t, j[:, None], axis=1)[:, 0]
-        better = t_c < t_min
-        pt_c = jnp.take_along_axis(point, j[:, None, None], axis=1)[:, 0]
-        nrm_c = jnp.take_along_axis(normal, j[:, None, None], axis=1)[:, 0]
-        mat_c = m[j]
-        return ((jnp.where(better, t_c, t_min),
-                 jnp.where(better[:, None], pt_c, pt),
-                 jnp.where(better[:, None], nrm_c, nrm),
-                 jnp.where(better, mat_c, mat)), None)
-
-    if n_chunks == 1:
-        (t_min, pt, nrm, mat), _ = body(init, (verts[0], norms[0], mats[0], valid[0]))
-    else:
-        (t_min, pt, nrm, mat), _ = jax.lax.scan(body, init, (verts, norms, mats, valid))
-    return t_min, pt, nrm, mat
-
-
-def intersect_scene(geoms: Geoms, mesh: MeshData,
-                    ray_o: jnp.ndarray, ray_d: jnp.ndarray,
-                    ray_culling: bool = True, face_chunk: int = 512,
-                    use_pallas: bool = False):
-    """Closest-hit query for a ray batch against the whole scene.
-
-    Returns dict(t, point, normal, material_id, is_inside); t == -1 for miss
-    (matching ShadeableIntersection semantics, pathtrace.cu:282-294).
-    """
-    t_g, p_g, n_g, outside_g, mat_g = _intersect_geoms(geoms, ray_o, ray_d)
+def intersect_scene_v(geoms: Geoms, mesh: MeshData, o: Vec3, d: Vec3,
+                      ray_culling: bool = True, face_chunk: int = 2048,
+                      types: Optional[Tuple[int, ...]] = None):
+    """Closest-hit query (SoA): dict with planes/Vec3 values; t==-1 on miss."""
+    t_g, p_g, n_g, out_g, mat_g = intersect_geoms_v(geoms, o, d, types)
 
     if mesh.num_faces > 0:
-        if use_pallas:
-            from .pallas.intersect_kernel import mesh_intersect_pallas
-            t_m, p_m, n_m, mat_m = mesh_intersect_pallas(mesh, ray_o, ray_d)
-        else:
-            t_m, p_m, n_m, mat_m = _intersect_mesh_chunked(mesh, ray_o, ray_d, face_chunk)
+        t_m, p_m, n_m, mat_m = mesh_intersect_v(mesh, o, d, face_chunk)
         if ray_culling:
-            # Per-ray AABB gate (pathtrace.cu:258). Masking replaces the
-            # thread-level early-out; on TPU the win comes from whole-batch
-            # culling ahead of the scan, handled by the renderer.
-            cull = ray_aabb_intersect(ray_o, ray_d, mesh.aabb_lb, mesh.aabb_ub)
+            # Per-ray AABB gate (pathtrace.cu:258).  Masking replaces the
+            # thread-level early-out.
+            cull = ray_aabb_intersect_v(o, d, mesh.aabb_lb, mesh.aabb_ub)
             t_m = jnp.where(cull, t_m, jnp.inf)
         mesh_wins = t_m < t_g
         t = jnp.where(mesh_wins, t_m, t_g)
-        point = jnp.where(mesh_wins[:, None], p_m, p_g)
-        normal = jnp.where(mesh_wins[:, None], n_m, n_g)
+        point = vwhere(mesh_wins, p_m, p_g)
+        normal = vwhere(mesh_wins, n_m, n_g)
         mat = jnp.where(mesh_wins, mat_m, mat_g)
         # triangle test leaves `outside` untouched in the reference; treat
         # mesh hits as outside=True.
-        outside = jnp.where(mesh_wins, True, outside_g)
+        outside = jnp.where(mesh_wins, True, out_g)
     else:
-        t, point, normal, mat, outside = t_g, p_g, n_g, mat_g, outside_g
+        t, point, normal, mat, outside = t_g, p_g, n_g, mat_g, out_g
 
     miss = ~jnp.isfinite(t)
     t = jnp.where(miss, -1.0, t)
     mat = jnp.where(miss, -1, mat)
-    return dict(t=t, point=point, normal=_normalize_safe(normal),
+    return dict(t=t, point=point, normal=normal.normalized_safe(),
                 material_id=mat, is_inside=~outside & ~miss)
 
 
-def _normalize_safe(v):
-    n = jnp.linalg.norm(v, axis=-1, keepdims=True)
-    return v / jnp.where(n > 0, n, 1.0)
+# ---------------------------------------------------------------------------
+# AoS wrappers — original (N, 3) API for tests and external callers
+# ---------------------------------------------------------------------------
+
+def box_intersect(transform, inverse_transform, ray_o, ray_d):
+    """AoS wrapper over :func:`box_intersect_v`."""
+    t, p, n, outside = box_intersect_v(
+        transform, inverse_transform, Vec3.from_rows(ray_o), Vec3.from_rows(ray_d))
+    return t, p.stack(), n.stack(), outside
+
+
+def sphere_intersect(transform, inverse_transform, inv_transpose, ray_o, ray_d):
+    """AoS wrapper over :func:`sphere_intersect_v`."""
+    t, p, n, outside = sphere_intersect_v(
+        transform, inverse_transform, inv_transpose,
+        Vec3.from_rows(ray_o), Vec3.from_rows(ray_d))
+    return t, p.stack(), n.stack(), outside
+
+
+def triangle_intersect(v, n, ray_o, ray_d):
+    """Ray batch (N,3) vs face batch (F,3,3) -> (N,F) results (AoS API)."""
+    o2 = Vec3(ray_o[:, 0:1], ray_o[:, 1:2], ray_o[:, 2:3])
+    d2 = Vec3(ray_d[:, 0:1], ray_d[:, 1:2], ray_d[:, 2:3])
+    v0 = Vec3(v[None, :, 0, 0], v[None, :, 0, 1], v[None, :, 0, 2])
+    v1 = Vec3(v[None, :, 1, 0], v[None, :, 1, 1], v[None, :, 1, 2])
+    v2 = Vec3(v[None, :, 2, 0], v[None, :, 2, 1], v[None, :, 2, 2])
+    t, u, w, hit = _triangle_t(v0, v1, v2, o2, d2)
+    point = u[..., None] * v[None, :, 0] + w[..., None] * v[None, :, 1] \
+        + (1 - u - w)[..., None] * v[None, :, 2]
+    nrm = (1 - u - w)[..., None] * n[None, :, 0] + u[..., None] * n[None, :, 1] \
+        + w[..., None] * n[None, :, 2]
+    nrm = nrm / jnp.linalg.norm(nrm, axis=-1, keepdims=True)
+    t = jnp.where(hit, t, -1.0)
+    return t, point, nrm
+
+
+def ray_aabb_intersect(ray_o, ray_d, lb, ub):
+    """AoS wrapper over :func:`ray_aabb_intersect_v`."""
+    return ray_aabb_intersect_v(Vec3.from_rows(ray_o), Vec3.from_rows(ray_d),
+                                lb, ub)
+
+
+def _intersect_geoms(geoms: Geoms, ray_o, ray_d):
+    """AoS wrapper over :func:`intersect_geoms_v` (legacy test entry)."""
+    t, p, n, outside, mat = intersect_geoms_v(
+        geoms, Vec3.from_rows(ray_o), Vec3.from_rows(ray_d))
+    return t, p.stack(), n.stack(), outside, mat
+
+
+def _intersect_mesh_chunked(mesh: MeshData, ray_o, ray_d, chunk: int = 2048):
+    """AoS wrapper over :func:`mesh_intersect_v` (legacy test entry)."""
+    t, p, n, mat = mesh_intersect_v(mesh, Vec3.from_rows(ray_o),
+                                    Vec3.from_rows(ray_d), chunk)
+    return t, p.stack(), n.stack(), mat
+
+
+def intersect_scene(geoms: Geoms, mesh: MeshData, ray_o, ray_d,
+                    ray_culling: bool = True, face_chunk: int = 2048,
+                    use_pallas: bool = False):
+    """AoS wrapper over :func:`intersect_scene_v`.
+
+    Returns dict(t, point, normal, material_id, is_inside) with (N, 3)
+    vectors — matching ShadeableIntersection semantics (pathtrace.cu:282-294).
+    """
+    del use_pallas  # the SoA core IS the TPU fast path
+    r = intersect_scene_v(geoms, mesh, Vec3.from_rows(ray_o),
+                          Vec3.from_rows(ray_d), ray_culling, face_chunk)
+    return dict(t=r["t"], point=r["point"].stack(), normal=r["normal"].stack(),
+                material_id=r["material_id"], is_inside=r["is_inside"])

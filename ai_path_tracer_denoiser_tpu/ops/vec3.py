@@ -1,0 +1,135 @@
+"""Structure-of-arrays 3-vector math for the TPU hot path.
+
+Why SoA: XLA on TPU lowers an ``(N, 3) @ (3, 3)`` transform to MXU matmul
+passes whose default precision is bfloat16 — for the renderer's object-space
+slab tests (values ~500 against 0.2-wide slabs) that rounding flips
+hit/miss, and the tiny inner dimension wastes the systolic array anyway.
+Reductions, gathers (``one_hot``/``take_along_axis``) and cross-lane ops on a
+last-dim-3 layout are similarly mis-tiled.  Representing a vector field as
+three independent ``(N,)`` planes turns every operation — including the 3x3
+transforms, dots, crosses and normalizations — into full-width f32 VPU
+elementwise arithmetic: measured ~100x faster than the AoS formulation for
+the scene-intersection stage, with exact f32 semantics.
+
+``Vec3`` is a pytree (NamedTuple) so it traces through jit/scan/while_loop
+transparently.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class Vec3(NamedTuple):
+    """Three same-shaped arrays acting as one vector field."""
+
+    x: jnp.ndarray
+    y: jnp.ndarray
+    z: jnp.ndarray
+
+    # -- arithmetic (componentwise; scalars broadcast) --
+    def __add__(self, o):
+        if isinstance(o, Vec3):
+            return Vec3(self.x + o.x, self.y + o.y, self.z + o.z)
+        return Vec3(self.x + o, self.y + o, self.z + o)
+
+    def __sub__(self, o):
+        if isinstance(o, Vec3):
+            return Vec3(self.x - o.x, self.y - o.y, self.z - o.z)
+        return Vec3(self.x - o, self.y - o, self.z - o)
+
+    def __mul__(self, o):
+        if isinstance(o, Vec3):
+            return Vec3(self.x * o.x, self.y * o.y, self.z * o.z)
+        return Vec3(self.x * o, self.y * o, self.z * o)
+
+    # CAUTION: ``ndarray * Vec3`` never reaches __rmul__ — the array's
+    # __mul__ coerces the NamedTuple into a stacked (3, N) array first.
+    # Always write ``vec * array`` (Vec3 on the left); __rmul__ exists only
+    # for python scalars, which correctly defer.
+    __rmul__ = __mul__
+
+    def __truediv__(self, o):
+        if isinstance(o, Vec3):
+            return Vec3(self.x / o.x, self.y / o.y, self.z / o.z)
+        return Vec3(self.x / o, self.y / o, self.z / o)
+
+    def __neg__(self):
+        return Vec3(-self.x, -self.y, -self.z)
+
+    # -- geometry --
+    def dot(self, o: "Vec3") -> jnp.ndarray:
+        return self.x * o.x + self.y * o.y + self.z * o.z
+
+    def cross(self, o: "Vec3") -> "Vec3":
+        return Vec3(self.y * o.z - self.z * o.y,
+                    self.z * o.x - self.x * o.z,
+                    self.x * o.y - self.y * o.x)
+
+    def norm(self) -> jnp.ndarray:
+        return jnp.sqrt(self.dot(self))
+
+    def normalized(self) -> "Vec3":
+        inv = jax.lax.rsqrt(self.dot(self))
+        return Vec3(self.x * inv, self.y * inv, self.z * inv)
+
+    def normalized_safe(self) -> "Vec3":
+        n2 = self.dot(self)
+        inv = jnp.where(n2 > 0, jax.lax.rsqrt(jnp.where(n2 > 0, n2, 1.0)), 1.0)
+        return Vec3(self.x * inv, self.y * inv, self.z * inv)
+
+    def abs(self) -> "Vec3":
+        return Vec3(jnp.abs(self.x), jnp.abs(self.y), jnp.abs(self.z))
+
+    # -- conversions --
+    @staticmethod
+    def from_rows(a: jnp.ndarray) -> "Vec3":
+        """(..., 3) array -> Vec3 of (...,) planes."""
+        return Vec3(a[..., 0], a[..., 1], a[..., 2])
+
+    @staticmethod
+    def splat(v, like: jnp.ndarray) -> "Vec3":
+        """Constant 3-vector (python/numpy) broadcast to ``like``'s shape."""
+        ones = jnp.ones_like(like)
+        return Vec3(ones * float(v[0]), ones * float(v[1]), ones * float(v[2]))
+
+    @staticmethod
+    def full_like(like: jnp.ndarray, value: float) -> "Vec3":
+        f = jnp.full_like(like, value)
+        return Vec3(f, f, f)
+
+    def stack(self) -> jnp.ndarray:
+        """Vec3 -> (..., 3) array (edge-of-pipeline only; costs a transpose)."""
+        return jnp.stack([self.x, self.y, self.z], axis=-1)
+
+
+def where(cond: jnp.ndarray, a: Vec3, b: Vec3) -> Vec3:
+    """Componentwise select; ``cond`` has the planes' shape (no [..., None])."""
+    return Vec3(jnp.where(cond, a.x, b.x),
+                jnp.where(cond, a.y, b.y),
+                jnp.where(cond, a.z, b.z))
+
+
+def xform_point(m, p: Vec3) -> Vec3:
+    """Apply a (4,4) homogeneous transform: rotation/scale + translation.
+
+    ``m`` is a concrete or traced (4,4); the 12 scalar coefficients multiply
+    whole planes — no MXU involvement, exact f32.
+    """
+    return Vec3(m[0, 0] * p.x + m[0, 1] * p.y + m[0, 2] * p.z + m[0, 3],
+                m[1, 0] * p.x + m[1, 1] * p.y + m[1, 2] * p.z + m[1, 3],
+                m[2, 0] * p.x + m[2, 1] * p.y + m[2, 2] * p.z + m[2, 3])
+
+
+def xform_dir(m, d: Vec3) -> Vec3:
+    """Rotation/scale part only (w=0)."""
+    return Vec3(m[0, 0] * d.x + m[0, 1] * d.y + m[0, 2] * d.z,
+                m[1, 0] * d.x + m[1, 1] * d.y + m[1, 2] * d.z,
+                m[2, 0] * d.x + m[2, 1] * d.y + m[2, 2] * d.z)
+
+
+def reflect(i: Vec3, n: Vec3) -> Vec3:
+    """glm::reflect: I - 2*dot(N,I)*N."""
+    return i - n * (2.0 * n.dot(i))

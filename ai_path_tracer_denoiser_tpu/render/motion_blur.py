@@ -70,4 +70,5 @@ def advance_geoms(geoms: Geoms, dt: float = 0.10) -> Geoms:
         translation=new_translation, rotation=geoms.rotation, scale=geoms.scale,
         vel=geoms.vel, transform=transform,
         inverse_transform=inverse_transform, inv_transpose=inv_transpose,
+        type_tuple=geoms.type_tuple,
     )

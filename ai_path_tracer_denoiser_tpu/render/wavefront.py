@@ -8,11 +8,18 @@ a kernel per stage per bounce with thrust compaction in between; here a whole
   lax.while_loop over remaining bounces (masked "compaction") -> gather.
 
 Key mapping decisions:
+  * **SoA planes everywhere.** Ray state lives as ``Vec3`` planes ((N,)
+    arrays, ops/vec3.py) so every stage is full-width f32 VPU elementwise
+    arithmetic — no (N, 3) mis-tiling, no bf16 MXU passes on geometry
+    transforms, no gathers in the hot loop (~50x a naive AoS formulation).
   * **Stream compaction** (thrust::partition, pathtrace.cu:505) becomes an
     alive *mask* plus an early loop exit once every lane is dead.  XLA needs
     static shapes, and the reference's own data shows partitioning cost more
     than it saved at 800x800 (metrics.xlsx row 3) — masking keeps lanes
     resident in VMEM with zero data movement.
+  * **finalGather** (pathtrace.cu:393-402) is a scatter-add only when
+    material sorting has permuted the lanes; in the default configuration
+    lane i IS pixel i, so the gather is a plain vector add.
   * **Material sorting** (pathtrace.cu:508-510) is a real argsort
     permutation of the path state, carried through ``pixel_index``; off by
     default exactly as in the reference.
@@ -32,9 +39,10 @@ import jax
 import jax.numpy as jnp
 
 from ..config import RenderOptions
-from ..ops.bsdf import scatter_ray
-from ..ops.intersect import intersect_scene
+from ..ops.bsdf import scatter_ray_v
+from ..ops.intersect import intersect_scene_v
 from ..ops.rng import draw_uniforms
+from ..ops.vec3 import Vec3, where as vwhere
 from ..scene.structs import Camera, Geoms, Scene
 from .motion_blur import advance_geoms
 
@@ -81,11 +89,10 @@ def init_render_state(scene: Scene) -> RenderLoopState:
     )
 
 
-def generate_camera_rays(camera: Camera, iteration: jnp.ndarray,
-                         options: RenderOptions,
-                         pixel_ids: Optional[jnp.ndarray] = None
-                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-pixel primary rays with optional AA jitter.
+def generate_camera_rays_v(camera: Camera, iteration, options: RenderOptions,
+                           pixel_ids: Optional[jnp.ndarray] = None
+                           ) -> Tuple[Vec3, Vec3]:
+    """Per-pixel primary rays with optional AA jitter (SoA).
 
     Port of generateRayFromCamera (pathtrace.cu:155-182).  The reference
     seeds the jitter RNG with the *previous* iteration's leftover
@@ -109,21 +116,38 @@ def generate_camera_rays(camera: Camera, iteration: jnp.ndarray,
 
     px = camera.pixel_length[0] * (x - w * 0.5 + jx)
     py = camera.pixel_length[1] * (y - h * 0.5 + jy)
-    direction = (camera.view[None, :]
-                 - camera.right[None, :] * px[:, None]
-                 - camera.up[None, :] * py[:, None])
-    direction = direction / jnp.linalg.norm(direction, axis=-1, keepdims=True)
-    origin = jnp.broadcast_to(camera.position, (n, 3))
+    view = Vec3(camera.view[0], camera.view[1], camera.view[2])
+    right = Vec3(camera.right[0], camera.right[1], camera.right[2])
+    up = Vec3(camera.up[0], camera.up[1], camera.up[2])
+    direction = Vec3(view.x - right.x * px - up.x * py,
+                     view.y - right.y * px - up.y * py,
+                     view.z - right.z * px - up.z * py).normalized()
+    ones = jnp.ones((n,), jnp.float32)
+    origin = Vec3(ones * camera.position[0], ones * camera.position[1],
+                  ones * camera.position[2])
     return origin, direction
 
 
+def generate_camera_rays(camera: Camera, iteration, options: RenderOptions,
+                         pixel_ids: Optional[jnp.ndarray] = None):
+    """AoS wrapper over :func:`generate_camera_rays_v` ((N, 3) outputs)."""
+    o, d = generate_camera_rays_v(camera, iteration, options, pixel_ids)
+    return o.stack(), d.stack()
+
+
 def _gather_material(scene: Scene, mat_id: jnp.ndarray):
-    """Gather per-ray material rows; mat_id==-1 gathers row 0 harmlessly."""
+    """Gather per-ray material planes; mat_id==-1 gathers row 0 harmlessly.
+
+    The material table is tiny (M rows) so these are M-entry lookups per
+    plane — the one gather family left in the hot loop.
+    """
     safe = jnp.maximum(mat_id, 0)
     m = scene.materials
     return dict(
-        color=m.color[safe],
-        specular_color=m.specular_color[safe],
+        color=Vec3(m.color[:, 0][safe], m.color[:, 1][safe], m.color[:, 2][safe]),
+        specular_color=Vec3(m.specular_color[:, 0][safe],
+                            m.specular_color[:, 1][safe],
+                            m.specular_color[:, 2][safe]),
         has_reflective=m.has_reflective[safe],
         has_refractive=m.has_refractive[safe],
         index_of_refraction=m.index_of_refraction[safe],
@@ -132,14 +156,14 @@ def _gather_material(scene: Scene, mat_id: jnp.ndarray):
 
 
 def _shade(scene: Scene, options: RenderOptions, iteration, isect,
-           ray_d, color, remaining, pixel_offset=0):
-    """Branch-free shadeMaterial (pathtrace.cu:333-390).
+           ray_d: Vec3, color: Vec3, remaining, pixel_offset=0):
+    """Branch-free shadeMaterial (pathtrace.cu:333-390), SoA.
 
     Returns (new_ray_o, new_ray_d, new_color, new_remaining).  ``pixel_offset``
     globalizes the RNG path index under tile sharding so a sharded render
     draws the identical noise stream as a single-device one.
     """
-    n = ray_d.shape[0]
+    n = ray_d.x.shape[0]
     idx = jnp.arange(n, dtype=jnp.uint32) + jnp.uint32(pixel_offset)
     u = draw_uniforms(iteration, idx, remaining, 2, options.rng)
 
@@ -148,37 +172,38 @@ def _shade(scene: Scene, options: RenderOptions, iteration, isect,
     mat = _gather_material(scene, isect["material_id"])
     emissive = mat["emittance"] > 0.0
 
-    sc_dir, sc_origin, sc_mult = scatter_ray(
+    sc_dir, sc_origin, sc_mult = scatter_ray_v(
         ray_d, isect["point"], isect["normal"], mat, u[0], u[1],
         fresnels=options.fresnels, dielectric=options.dielectric,
         mesh_normal_view=options.mesh_normal_view)
 
     # light hit: color *= emittance * matColor, terminate (pathtrace.cu:358-361)
-    emit_color = color * mat["color"] * mat["emittance"][:, None]
+    emit_color = color * mat["color"] * mat["emittance"]
     scatter_color = color * sc_mult
 
     upd = alive & hit
-    new_color = jnp.where((upd & emissive)[:, None], emit_color,
-                          jnp.where(upd[:, None], scatter_color, color))
+    new_color = vwhere(upd & emissive, emit_color,
+                       vwhere(upd, scatter_color, color))
     # miss: black + terminate (pathtrace.cu:375-377)
-    new_color = jnp.where((alive & ~hit)[:, None], 0.0, new_color)
+    new_color = vwhere(alive & ~hit, Vec3.full_like(new_color.x, 0.0), new_color)
 
     new_remaining = jnp.where(alive & hit & ~emissive, remaining - 1,
                               jnp.where(alive, 0, remaining))
-    new_ray_d = jnp.where((upd & ~emissive)[:, None], sc_dir, ray_d)
-    new_ray_o = jnp.where((upd & ~emissive)[:, None], sc_origin,
-                          jnp.zeros_like(sc_origin))
+    scatter_lanes = upd & ~emissive
+    new_ray_d = vwhere(scatter_lanes, sc_dir, ray_d)
+    new_ray_o = vwhere(scatter_lanes, sc_origin, Vec3.full_like(sc_origin.x, 0.0))
     return new_ray_o, new_ray_d, new_color, new_remaining
 
 
-def _maybe_sort_by_material(options, isect_mat, alive, *arrays):
+def _maybe_sort_by_material(options, isect_mat, alive, carry):
     """Material-coherence sort (pathtrace.cu:508-510): stable argsort keyed
-    by material id, dead lanes pushed to the back."""
+    by material id, dead lanes pushed to the back.  Off by default; permutes
+    every plane of the carry when enabled."""
     if not options.sort_material:
-        return arrays
+        return carry
     key = jnp.where(alive, isect_mat, jnp.int32(2 ** 30))
     perm = jnp.argsort(key, stable=True)
-    return tuple(a[perm] for a in arrays)
+    return jax.tree_util.tree_map(lambda a: a[perm], carry)
 
 
 def trace_iteration(scene: Scene, options: RenderOptions,
@@ -205,36 +230,41 @@ def trace_iteration(scene: Scene, options: RenderOptions,
             advance_geoms(geoms), geoms)
 
     pixel_ids = jnp.arange(n, dtype=jnp.uint32) + jnp.uint32(pixel_offset)
-    ray_o, ray_d = generate_camera_rays(scene.camera, iteration, options,
-                                        pixel_ids)
-    color = jnp.ones((n, 3), jnp.float32)
+    ray_o, ray_d = generate_camera_rays_v(scene.camera, iteration, options,
+                                          pixel_ids)
+    color = Vec3.full_like(ray_d.x, 1.0)
     remaining = jnp.full((n,), depth_max, jnp.int32)
     pixel_index = jnp.arange(n, dtype=jnp.int32)   # local gather index
 
     # ---- depth 0 (peeled: G-buffer emission + first-bounce cache) ----
     if options.cache_first_bounce:
-        fresh = intersect_scene(geoms, scene.mesh, ray_o, ray_d,
-                                ray_culling=options.ray_culling)
+        fresh = intersect_scene_v(geoms, scene.mesh, ray_o, ray_d,
+                                  ray_culling=options.ray_culling)
         use_cache = iteration > 1
+        cache_point = Vec3.from_rows(state.cache_point)
+        cache_normal = Vec3.from_rows(state.cache_normal)
         isect0 = dict(
             t=jnp.where(use_cache, state.cache_t, fresh["t"]),
-            point=jnp.where(use_cache, state.cache_point, fresh["point"]),
-            normal=jnp.where(use_cache, state.cache_normal, fresh["normal"]),
+            point=vwhere(use_cache, cache_point, fresh["point"]),
+            normal=vwhere(use_cache, cache_normal, fresh["normal"]),
             material_id=jnp.where(use_cache, state.cache_mat, fresh["material_id"]),
             is_inside=fresh["is_inside"],
         )
-        cache = (isect0["t"], isect0["point"], isect0["normal"], isect0["material_id"])
+        cache = (isect0["t"], isect0["point"].stack(), isect0["normal"].stack(),
+                 isect0["material_id"])
     else:
-        isect0 = intersect_scene(geoms, scene.mesh, ray_o, ray_d,
-                                 ray_culling=options.ray_culling)
+        isect0 = intersect_scene_v(geoms, scene.mesh, ray_o, ray_d,
+                                   ray_culling=options.ray_culling)
         cache = (state.cache_t, state.cache_point, state.cache_normal, state.cache_mat)
 
     # G-buffer: normals + depth at depth 0, iteration 1 (pathtrace.cu:295-304).
     gbuf = state.gbuf
     if options.denoise:
         write = (iteration == 1) & (isect0["t"] >= 0.0)
-        gbuf = gbuf.at[0:3].set(jnp.where(write[None, :],
-                                          isect0["normal"].T, gbuf[0:3]))
+        nrm = isect0["normal"]
+        gbuf = gbuf.at[0].set(jnp.where(write, nrm.x, gbuf[0]))
+        gbuf = gbuf.at[1].set(jnp.where(write, nrm.y, gbuf[1]))
+        gbuf = gbuf.at[2].set(jnp.where(write, nrm.z, gbuf[2]))
         gbuf = gbuf.at[3].set(jnp.where(write, isect0["t"], gbuf[3]))
 
     ray_o, ray_d, color, remaining = _shade(
@@ -243,28 +273,27 @@ def trace_iteration(scene: Scene, options: RenderOptions,
 
     # G-buffer: albedo = throughput after the first shade (pathtrace.cu:379-387).
     if options.denoise:
-        gbuf = gbuf.at[4:7].set(jnp.where(write[None, :], color.T, gbuf[4:7]))
+        gbuf = gbuf.at[4].set(jnp.where(write, color.x, gbuf[4]))
+        gbuf = gbuf.at[5].set(jnp.where(write, color.y, gbuf[5]))
+        gbuf = gbuf.at[6].set(jnp.where(write, color.z, gbuf[6]))
 
-    ray_o, ray_d, color, remaining, pixel_index = (
-        lambda arrs: arrs)(  # keep tuple form readable
-        _maybe_sort_by_material(options, isect0["material_id"],
-                                remaining > 0,
-                                ray_o, ray_d, color, remaining, pixel_index))
+    carry = _maybe_sort_by_material(options, isect0["material_id"],
+                                    remaining > 0,
+                                    (ray_o, ray_d, color, remaining, pixel_index))
 
     # ---- remaining bounces ----
     def bounce(carry, _=None):
         ray_o, ray_d, color, remaining, pixel_index = carry
-        isect = intersect_scene(geoms, scene.mesh, ray_o, ray_d,
-                                ray_culling=options.ray_culling)
-        out = _shade(scene, options, iteration, isect, ray_d, color, remaining,
-                     pixel_offset)
-        ray_o, ray_d, color, remaining = out
-        carry = _maybe_sort_by_material(options, isect["material_id"],
-                                        remaining > 0,
-                                        ray_o, ray_d, color, remaining, pixel_index)
+        isect = intersect_scene_v(geoms, scene.mesh, ray_o, ray_d,
+                                  ray_culling=options.ray_culling)
+        ray_o, ray_d, color, remaining = _shade(
+            scene, options, iteration, isect, ray_d, color, remaining,
+            pixel_offset)
+        carry = _maybe_sort_by_material(
+            options, isect["material_id"], remaining > 0,
+            (ray_o, ray_d, color, remaining, pixel_index))
         return carry, None
 
-    carry = (ray_o, ray_d, color, remaining, pixel_index)
     if depth_max > 1:
         if differentiable:
             carry, _ = jax.lax.scan(bounce, carry, None, length=depth_max - 1)
@@ -283,8 +312,12 @@ def trace_iteration(scene: Scene, options: RenderOptions,
             _, carry = jax.lax.while_loop(cond, body, (jnp.int32(0), carry))
     _, _, color, _, pixel_index = carry
 
-    # finalGather (pathtrace.cu:393-402): scatter-add by pixel index.
-    accum = state.accum.at[pixel_index].add(color)
+    # finalGather (pathtrace.cu:393-402).  Without material sorting lane i is
+    # pixel i — a plain add.  With sorting, scatter-add by the permuted index.
+    if options.sort_material:
+        accum = state.accum.at[pixel_index].add(color.stack())
+    else:
+        accum = state.accum + color.stack()
 
     return RenderLoopState(
         accum=accum, gbuf=gbuf, geoms=geoms, iteration=iteration,

@@ -40,13 +40,19 @@ class Geoms:
     transform: jnp.ndarray           # (G, 4, 4) f32
     inverse_transform: jnp.ndarray   # (G, 4, 4) f32
     inv_transpose: jnp.ndarray       # (G, 4, 4) f32
+    # Static mirror of ``type`` (hashable, jit-stable): lets the SoA
+    # intersector unroll one test per geom instead of computing both the box
+    # and the sphere test and selecting by a traced type id.
+    type_tuple: Tuple[int, ...] = ()
 
     @property
     def count(self) -> int:
         return self.type.shape[0]
 
 
-_register(Geoms, [f.name for f in dataclasses.fields(Geoms)])
+_register(Geoms,
+          [f.name for f in dataclasses.fields(Geoms) if f.name != "type_tuple"],
+          ["type_tuple"])
 
 
 @dataclasses.dataclass
@@ -197,9 +203,11 @@ def make_geoms(records) -> Geoms:
         zi = np.zeros((0,), np.int32)
         return Geoms(jnp.asarray(zi), jnp.asarray(zi), jnp.asarray(z3),
                      jnp.asarray(z3), jnp.asarray(z3), jnp.asarray(z3),
-                     jnp.asarray(z44), jnp.asarray(z44), jnp.asarray(z44))
+                     jnp.asarray(z44), jnp.asarray(z44), jnp.asarray(z44),
+                     type_tuple=())
     mats = [geom_matrices(r["translation"], r["rotation"], r["scale"]) for r in records]
     return Geoms(
+        type_tuple=tuple(int(r["type"]) for r in records),
         type=jnp.asarray(np.array([r["type"] for r in records], np.int32)),
         material_id=jnp.asarray(np.array([r["material_id"] for r in records], np.int32)),
         translation=jnp.asarray(np.array([r["translation"] for r in records], np.float32)),
