@@ -69,11 +69,13 @@ def render_sharded(scene: Scene, options: RenderOptions,
 
 
 def _state_spec():
-    """PartitionSpec pytree for RenderLoopState: pixel axes over 'data'."""
+    """PartitionSpec pytree for RenderLoopState: pixel planes over 'data'."""
+    from ..ops.vec3 import Vec3
+    vspec = Vec3(P("data"), P("data"), P("data"))
     return RenderLoopState(
-        accum=P("data"), gbuf=P(None, "data"), geoms=P(),
-        iteration=P(), cache_t=P("data"), cache_point=P("data"),
-        cache_normal=P("data"), cache_mat=P("data"))
+        accum=vspec, gbuf=tuple(P("data") for _ in range(7)), geoms=P(),
+        iteration=P(), cache_t=P("data"), cache_point=vspec,
+        cache_normal=vspec, cache_mat=P("data"))
 
 
 def _state_sharding(mesh: Mesh):

@@ -122,7 +122,7 @@ def test_differentiable_path(cornell_scene_small):
         s = dc.replace(scene, camera=cam)
         state = init_render_state(s)
         state = trace_iteration(s, opts, state, differentiable=True)
-        return jnp.mean(state.accum)
+        return jnp.mean(jnp.stack(list(state.accum)))
 
     g = jax.grad(loss)(scene.camera.position)
     assert np.isfinite(np.asarray(g)).all()
