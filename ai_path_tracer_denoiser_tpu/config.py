@@ -48,6 +48,13 @@ class RenderOptions:
     # unflipped, straightforward layout.
     flip_horizontal: bool = True
 
+    # --- execution backend ---
+    # "auto": whole-render Pallas megakernel on TPU when the scene/options
+    #   are eligible (analytic geoms, no sort/cache/motion-blur), XLA
+    #   wavefront otherwise.  "xla" forces the wavefront path; "pallas"
+    #   forces the megakernel (interpreted off-TPU) and errors if ineligible.
+    backend: str = "auto"
+
     # --- RNG ---
     # "parity": utilhash-seeded minstd LCG reproducing the reference's
     #   (iter, index, depth) noise statistics (pathtrace.cu:52-56).
@@ -60,6 +67,7 @@ class RenderOptions:
 
     def __post_init__(self):
         assert self.rng in ("parity", "fast"), self.rng
+        assert self.backend in ("auto", "xla", "pallas"), self.backend
         # Mirrors the asserts at pathtrace.cu:435-436.
         assert not (self.cache_first_bounce and self.antialias), (
             "first-bounce cache is incompatible with antialiasing")

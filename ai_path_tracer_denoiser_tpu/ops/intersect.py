@@ -39,9 +39,12 @@ import jax.numpy as jnp
 from ..scene.structs import CUBE, SPHERE, Geoms, MeshData
 from .vec3 import Vec3, reflect, where as vwhere, xform_dir, xform_point
 
+import numpy as np
+
 _EPS_POINT = 1e-4       # getPointOnRay backoff (intersections.h:27-29)
-_FLT_EPS = jnp.float32(1.1920929e-07)
-_BIG = jnp.float32(1e38)
+# numpy scalars (not jnp) so they inline as literals inside Pallas kernels
+_FLT_EPS = np.float32(1.1920929e-07)
+_BIG = np.float32(1e38)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,387 @@
+"""Whole-render Pallas TPU megakernel.
+
+The XLA wavefront path (render/wavefront.py) runs each pipeline stage as
+fused VPU ops but still round-trips the ~16-plane ray state through HBM at
+every fusion boundary and loop carry.  This backend fuses the ENTIRE render
+— every spp iteration, every bounce, ray-gen through final gather — into one
+``pallas_call``: a tile of pixels is pinned in VMEM and traced start-to-
+finish, so HBM traffic is exactly one read + one write of the accumulator
+and G-buffer tiles per *render call*, not per bounce.
+
+Mapping of the reference pipeline (pathtrace.cu:422-528):
+  * grid = pixel tiles of (TILE_ROWS, 128) lanes — the SIMT "1 thread per
+    path" grid (pathtrace.cu:428-434) becomes one VPU-wide tile per program;
+  * the iteration loop (runCuda calling pathtrace per frame, main.cpp:154)
+    is an in-kernel ``fori_loop`` whose trip count is a runtime SMEM scalar;
+  * the bounce loop (pathtrace.cu:460-513) is unrolled ``trace_depth`` times
+    with alive-masking as the compaction equivalent (see wavefront.py);
+  * G-buffer normal/depth/albedo emission at depth 0 of iteration 1
+    (pathtrace.cu:295-304, 379-387) writes the carried G-buffer planes.
+
+Scene geometry and the material table are **baked into the kernel as
+constants** (they are static per scene; XLA folds them into vector
+immediates), while the camera basis and iteration window arrive as SMEM
+scalars — so interactive camera orbits (main.cpp:122-140) re-use one
+compiled kernel.  The intersection/BSDF/RNG math is the *same code* as the
+XLA path (ops/intersect.py, ops/bsdf.py, ops/rng.py): those functions are
+shape-agnostic SoA elementwise math, equally valid on (N,) arrays under jit
+and (TILE_ROWS, 128) blocks inside a kernel, and the RNG is division-free
+(ops/rng.py lcg_next) so it lowers in Mosaic.
+
+Eligibility (render() falls back to the XLA path otherwise): analytic geoms
+only (no triangle mesh — its winner-gather phase needs XLA's gather),
+no material sort / first-bounce cache / motion blur, non-differentiable,
+< 2^23 pixels (pixel ids must be exact in f32).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import RenderOptions
+from ..ops.bsdf import scatter_ray_v
+from ..ops.intersect import box_intersect_v, sphere_intersect_v
+from ..ops.rng import draw_uniforms
+from ..ops.vec3 import Vec3, where as vwhere
+from ..scene.structs import CUBE, Scene
+from .wavefront import RenderLoopState, init_render_state
+
+TILE_ROWS = 128          # (TILE_ROWS, 128) f32 lanes per grid program
+_LANES = 128
+
+
+def pallas_eligible(scene: Scene, options: RenderOptions,
+                    differentiable: bool = False) -> bool:
+    w, h = scene.camera.resolution
+    return (not differentiable
+            and scene.mesh.num_faces == 0
+            and not options.sort_material
+            and not options.cache_first_bounce
+            and not options.motion_blur
+            and w * h < 2 ** 23)
+
+
+def _intersect_geoms_baked(transforms, inverses, inv_transposes, types,
+                           material_ids, o: Vec3, d: Vec3):
+    """intersect_geoms_v (ops/intersect.py) with numpy-constant matrices.
+
+    The per-geom 4x4s are host numpy arrays, so every coefficient in
+    xform_point/xform_dir folds to a vector immediate.  Same running-min /
+    first-geom-wins-ties semantics as computeIntersections
+    (pathtrace.cu:230-254).
+    """
+    t_best = jnp.full_like(o.x, jnp.inf)
+    p_best = Vec3.full_like(o.x, 0.0)
+    n_best = Vec3.full_like(o.x, 0.0)
+    mat_best = jnp.full(o.x.shape, -1, jnp.int32)
+    for g in range(len(types)):
+        if types[g] == CUBE:
+            t, p, n, _ = box_intersect_v(transforms[g], inverses[g], o, d)
+        else:
+            t, p, n, _ = sphere_intersect_v(transforms[g], inverses[g],
+                                            inv_transposes[g], o, d)
+        t = jnp.where(t > 0.0, t, jnp.inf)
+        better = t < t_best
+        t_best = jnp.where(better, t, t_best)
+        p_best = vwhere(better, p, p_best)
+        n_best = vwhere(better, n, n_best)
+        mat_best = jnp.where(better, jnp.int32(int(material_ids[g])), mat_best)
+    miss = ~jnp.isfinite(t_best)
+    t_best = jnp.where(miss, -1.0, t_best)
+    return t_best, p_best, n_best.normalized_safe(), mat_best
+
+
+def _gather_material_baked(mats, mat_id):
+    """Unrolled select over the (tiny, static) material table.
+
+    Replaces the _gather_material row gathers (wavefront.py) — arbitrary
+    gathers don't vectorize inside TPU kernels, M-way selects do.
+    """
+    def mat_planes(m):
+        return dict(
+            color=(float(mats.color[m, 0]), float(mats.color[m, 1]),
+                   float(mats.color[m, 2])),
+            specular_color=(float(mats.specular_color[m, 0]),
+                            float(mats.specular_color[m, 1]),
+                            float(mats.specular_color[m, 2])),
+            has_reflective=float(mats.has_reflective[m]),
+            has_refractive=float(mats.has_refractive[m]),
+            index_of_refraction=float(mats.index_of_refraction[m]),
+            emittance=float(mats.emittance[m]),
+        )
+
+    n_mats = mats.color.shape[0]
+    acc = mat_planes(0)
+    # broadcast material 0 to planes
+    like = mat_id
+    out = dict(
+        color=Vec3(jnp.full_like(like, acc["color"][0], jnp.float32),
+                   jnp.full_like(like, acc["color"][1], jnp.float32),
+                   jnp.full_like(like, acc["color"][2], jnp.float32)),
+        specular_color=Vec3(
+            jnp.full_like(like, acc["specular_color"][0], jnp.float32),
+            jnp.full_like(like, acc["specular_color"][1], jnp.float32),
+            jnp.full_like(like, acc["specular_color"][2], jnp.float32)),
+        has_reflective=jnp.full_like(like, acc["has_reflective"], jnp.float32),
+        has_refractive=jnp.full_like(like, acc["has_refractive"], jnp.float32),
+        index_of_refraction=jnp.full_like(like, acc["index_of_refraction"],
+                                          jnp.float32),
+        emittance=jnp.full_like(like, acc["emittance"], jnp.float32),
+    )
+    for m in range(1, n_mats):
+        pm = mat_planes(m)
+        sel = mat_id == m
+        out["color"] = vwhere(sel, Vec3(*pm["color"]), out["color"])
+        out["specular_color"] = vwhere(sel, Vec3(*pm["specular_color"]),
+                                       out["specular_color"])
+        for key in ("has_reflective", "has_refractive",
+                    "index_of_refraction", "emittance"):
+            out[key] = jnp.where(sel, pm[key], out[key])
+    return out
+
+
+def _build_kernel(scene: Scene, options: RenderOptions, n_pixels: int):
+    """Close the kernel body over the baked scene + static options."""
+    w, h = scene.camera.resolution
+    depth_max = int(scene.trace_depth)
+    geoms = scene.geoms
+    transforms = np.asarray(geoms.transform, np.float32)
+    inverses = np.asarray(geoms.inverse_transform, np.float32)
+    inv_transposes = np.asarray(geoms.inv_transpose, np.float32)
+    types = tuple(int(t) for t in np.asarray(geoms.type))
+    material_ids = tuple(int(m) for m in np.asarray(geoms.material_id))
+    mats = jax.tree_util.tree_map(lambda a: np.asarray(a), scene.materials)
+
+    inv_w = np.float32(1.0 / w)
+    half_w = np.float32(w * 0.5)
+    half_h = np.float32(h * 0.5)
+
+    def shade(iteration, pid, t, point, normal, mat_id, ray_d, color,
+              remaining):
+        """shadeMaterial (pathtrace.cu:333-390) on kernel tiles —
+        mirrors wavefront._shade with the baked material table."""
+        u = draw_uniforms(iteration, pid, remaining, 2, options.rng)
+        alive = remaining != 0
+        hit = t > 0.0
+        mat = _gather_material_baked(mats, mat_id)
+        emissive = mat["emittance"] > 0.0
+
+        sc_dir, sc_origin, sc_mult = scatter_ray_v(
+            ray_d, point, normal, mat, u[0], u[1],
+            fresnels=options.fresnels, dielectric=options.dielectric,
+            mesh_normal_view=options.mesh_normal_view)
+
+        emit_color = color * mat["color"] * mat["emittance"]
+        scatter_color = color * sc_mult
+        upd = alive & hit
+        new_color = vwhere(upd & emissive, emit_color,
+                           vwhere(upd, scatter_color, color))
+        new_color = vwhere(alive & ~hit, Vec3.full_like(new_color.x, 0.0),
+                           new_color)
+        new_remaining = jnp.where(alive & hit & ~emissive, remaining - 1,
+                                  jnp.where(alive, 0, remaining))
+        scatter_lanes = upd & ~emissive
+        new_ray_d = vwhere(scatter_lanes, sc_dir, ray_d)
+        new_ray_o = vwhere(scatter_lanes, sc_origin,
+                           Vec3.full_like(sc_origin.x, 0.0))
+        return new_ray_o, new_ray_d, new_color, new_remaining
+
+    def kernel(cam_ref, it_ref, acc_in, gb_in, acc_out, gb_out):
+        tile = pl.program_id(0)
+        row = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, _LANES), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, _LANES), 1)
+        pid_i32 = (tile * TILE_ROWS + row) * _LANES + col
+        pid = pid_i32.astype(jnp.uint32)
+        pid_f = pid_i32.astype(jnp.float32)
+        # exact for n_pixels < 2^23: (pid+0.5)/w is never within f32 rounding
+        # distance of an integer boundary
+        y = jnp.floor((pid_f + 0.5) * inv_w)
+        x = pid_f - y * np.float32(w)
+
+        cpos = (cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2])
+        cview = Vec3(cam_ref[0, 3], cam_ref[0, 4], cam_ref[0, 5])
+        cup = Vec3(cam_ref[0, 6], cam_ref[0, 7], cam_ref[0, 8])
+        cright = Vec3(cam_ref[0, 9], cam_ref[0, 10], cam_ref[0, 11])
+        plx = cam_ref[0, 12]
+        ply = cam_ref[0, 13]
+        start = it_ref[0, 0]
+        niter = it_ref[0, 1]
+
+        ones = jnp.ones((TILE_ROWS, _LANES), jnp.float32)
+
+        def one_iteration(k, carry):
+            ax, ay, az, g0, g1, g2, g3, g4, g5, g6 = carry
+            iteration = start + 1 + k
+
+            # --- ray-gen (generateRayFromCamera, pathtrace.cu:155-182) ---
+            if options.antialias:
+                uj = draw_uniforms(iteration, pid, 0, 2, options.rng)
+                jx = uj[0] - 0.5
+                jy = uj[1] - 0.5
+            else:
+                jx = jy = jnp.zeros_like(x)
+            px = plx * (x - half_w + jx)
+            py = ply * (y - half_h + jy)
+            ray_d = Vec3(cview.x - cright.x * px - cup.x * py,
+                         cview.y - cright.y * px - cup.y * py,
+                         cview.z - cright.z * px - cup.z * py).normalized()
+            ray_o = Vec3(ones * cpos[0], ones * cpos[1], ones * cpos[2])
+            color = Vec3(ones, ones, ones)
+            remaining = jnp.full((TILE_ROWS, _LANES), depth_max, jnp.int32)
+
+            # --- bounce loop, unrolled (pathtrace.cu:460-513) ---
+            for d_i in range(depth_max):
+                t, point, normal, mat_id = _intersect_geoms_baked(
+                    transforms, inverses, inv_transposes, types,
+                    material_ids, ray_o, ray_d)
+                if d_i == 0 and options.denoise:
+                    write = (iteration == 1) & (t >= 0.0)
+                    g0 = jnp.where(write, normal.x, g0)
+                    g1 = jnp.where(write, normal.y, g1)
+                    g2 = jnp.where(write, normal.z, g2)
+                    g3 = jnp.where(write, t, g3)
+                ray_o, ray_d, color, remaining = shade(
+                    iteration, pid, t, point, normal, mat_id, ray_d, color,
+                    remaining)
+                if d_i == 0 and options.denoise:
+                    g4 = jnp.where(write, color.x, g4)
+                    g5 = jnp.where(write, color.y, g5)
+                    g6 = jnp.where(write, color.z, g6)
+
+            # finalGather (pathtrace.cu:393-402)
+            return (ax + color.x, ay + color.y, az + color.z,
+                    g0, g1, g2, g3, g4, g5, g6)
+
+        carry0 = (acc_in[0], acc_in[1], acc_in[2],
+                  gb_in[0], gb_in[1], gb_in[2], gb_in[3], gb_in[4],
+                  gb_in[5], gb_in[6])
+        carry = jax.lax.fori_loop(0, niter, one_iteration, carry0)
+        acc_out[0], acc_out[1], acc_out[2] = carry[0], carry[1], carry[2]
+        for c in range(7):
+            gb_out[c] = carry[3 + c]
+
+    return kernel
+
+
+def _pack(planes, n_rows_padded: int):
+    """k x (N,) planes -> (k, R, 128) padded planar tensor."""
+    stacked = jnp.stack(list(planes))
+    k, n = stacked.shape
+    pad = n_rows_padded * _LANES - n
+    if pad:
+        stacked = jnp.pad(stacked, ((0, 0), (0, pad)))
+    return stacked.reshape(k, n_rows_padded, _LANES)
+
+
+def _unpack(tensor, n: int):
+    """(k, R, 128) -> list of k (N,) planes."""
+    k = tensor.shape[0]
+    flat = tensor.reshape(k, -1)[:, :n]
+    return [flat[i] for i in range(k)]
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_call(scene_key, options: RenderOptions, n_pixels: int,
+                   n_rows: int, interpret: bool):
+    """Build + wrap the pallas_call for a (scene-geometry, options) pair.
+
+    ``scene_key`` carries the scene object through the lru_cache (scenes are
+    frozen dataclasses with array leaves; identity-keying on the wrapper
+    keeps hashing cheap and correct per loaded scene).
+    """
+    scene = scene_key.scene
+    kernel = _build_kernel(scene, options, n_pixels)
+    grid = (n_rows // TILE_ROWS,)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 16), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((3, TILE_ROWS, _LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((7, TILE_ROWS, _LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((3, TILE_ROWS, _LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((7, TILE_ROWS, _LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, n_rows, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((7, n_rows, _LANES), jnp.float32),
+        ],
+        input_output_aliases={2: 0, 3: 1},
+        interpret=interpret,
+    )
+    return jax.jit(call)
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class _SceneKey:
+    """Identity-hashed scene wrapper for the kernel cache."""
+    scene: Scene
+
+    def __hash__(self):
+        return id(self.scene)
+
+    def __eq__(self, other):
+        return self.scene is getattr(other, "scene", None)
+
+
+def render_pallas(scene: Scene, options: RenderOptions,
+                  num_iterations: int,
+                  state: Optional[RenderLoopState] = None,
+                  interpret: bool = False) -> RenderLoopState:
+    """Run ``num_iterations`` 1-spp iterations through the megakernel.
+
+    Same contract as the XLA driver: accumulates into ``state`` and returns
+    the advanced state.  ``interpret=True`` runs the kernel in the Pallas
+    interpreter (CPU) — used by the equivalence tests.
+    """
+    if not pallas_eligible(scene, options):
+        raise ValueError("scene/options not eligible for the pallas backend")
+    w, h = scene.camera.resolution
+    n = w * h
+    rows = -(-n // _LANES)                       # ceil(n / 128)
+    n_rows = -(-rows // TILE_ROWS) * TILE_ROWS   # pad to tile multiple
+    if state is None:
+        state = init_render_state(scene)
+
+    cam = scene.camera
+    cam_row = jnp.concatenate([
+        jnp.asarray(cam.position, jnp.float32),
+        jnp.asarray(cam.view, jnp.float32),
+        jnp.asarray(cam.up, jnp.float32),
+        jnp.asarray(cam.right, jnp.float32),
+        jnp.asarray(cam.pixel_length, jnp.float32),
+        jnp.zeros((2,), jnp.float32),
+    ]).reshape(1, 16)
+    iters = jnp.stack([state.iteration.astype(jnp.int32),
+                       jnp.int32(num_iterations)]).reshape(1, 2)
+
+    accum = _pack(tuple(state.accum), n_rows)
+    gbuf = _pack(state.gbuf, n_rows)
+
+    call = _compiled_call(_SceneKey(scene), options, n, n_rows, interpret)
+    acc_out, gb_out = call(cam_row, iters, accum, gbuf)
+
+    ax, ay, az = _unpack(acc_out, n)
+    g = _unpack(gb_out, n)
+    return RenderLoopState(
+        accum=Vec3(ax, ay, az), gbuf=tuple(g), geoms=state.geoms,
+        iteration=state.iteration + jnp.int32(num_iterations),
+        cache_t=state.cache_t, cache_point=state.cache_point,
+        cache_normal=state.cache_normal, cache_mat=state.cache_mat)

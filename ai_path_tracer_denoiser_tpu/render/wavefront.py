@@ -370,6 +370,23 @@ def _render_jit(scene: Scene, state: RenderLoopState, options: RenderOptions,
     return jax.lax.fori_loop(0, num_iterations, body, state)
 
 
+def _resolve_backend(scene: Scene, options: RenderOptions,
+                     differentiable: bool) -> str:
+    from .pallas_backend import pallas_eligible
+    if options.backend == "xla":
+        return "xla"
+    eligible = pallas_eligible(scene, options, differentiable)
+    if options.backend == "pallas":
+        if not eligible:
+            raise ValueError("backend='pallas' but scene/options ineligible "
+                             "(mesh, sort_material, cache_first_bounce, "
+                             "motion_blur, or differentiable render)")
+        return "pallas"
+    # auto: the megakernel wins on TPU; off-TPU it would run interpreted.
+    on_tpu = jax.default_backend() not in ("cpu",)
+    return "pallas" if (eligible and on_tpu) else "xla"
+
+
 def render(scene: Scene, options: RenderOptions = RenderOptions(),
            num_iterations: Optional[int] = None,
            state: Optional[RenderLoopState] = None,
@@ -377,14 +394,20 @@ def render(scene: Scene, options: RenderOptions = RenderOptions(),
     """Render ``num_iterations`` spp (defaults to the scene's ITERATIONS).
 
     Returns (image (H,W,3), gbuffer (10,H,W), final state).  The entire spp
-    loop runs on-device in one compiled program.
+    loop runs on-device in one compiled program — the XLA wavefront driver
+    or, when eligible on TPU, the Pallas megakernel (pallas_backend.py).
     """
     if num_iterations is None:
         num_iterations = scene.iterations
     if state is None:
         state = init_render_state(scene)
-    state = _render_jit(scene, state, options, jnp.int32(num_iterations),
-                        differentiable)
+    if _resolve_backend(scene, options, differentiable) == "pallas":
+        from .pallas_backend import render_pallas
+        state = render_pallas(scene, options, num_iterations, state,
+                              interpret=jax.default_backend() == "cpu")
+    else:
+        state = _render_jit(scene, state, options, jnp.int32(num_iterations),
+                            differentiable)
     image = current_image(state, scene.camera.resolution)
     gbuffer = assemble_gbuffer(state, scene.camera.resolution, options)
     return image, gbuffer, state

@@ -6,15 +6,23 @@ per frame => 8.89 Mpaths/s (BASELINE.md).  vs_baseline is ours/reference
 (>1 = faster).
 
 Runs on whatever backend the environment provides (the real TPU chip under
-the driver).  Prints exactly one JSON line.
+the driver); the auto backend dispatch picks the Pallas megakernel there.
+Prints exactly one JSON line.
 """
 import json
+import pathlib
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Persistent compile cache: the megakernel's first compile is ~2 min.
+_CACHE = pathlib.Path(__file__).parent / ".jax_cache"
+_CACHE.mkdir(exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", str(_CACHE))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 REFERENCE_SECONDS_PER_FRAME = 0.072  # README.md:55-59, imgs/results/infer.png
 WIDTH = HEIGHT = 800
@@ -26,8 +34,7 @@ def main():
     import dataclasses
 
     from ai_path_tracer_denoiser_tpu.config import RenderOptions
-    from ai_path_tracer_denoiser_tpu.render.wavefront import (
-        _render_jit, init_render_state)
+    from ai_path_tracer_denoiser_tpu.render import render
     from ai_path_tracer_denoiser_tpu.scene import load_scene
     from ai_path_tracer_denoiser_tpu.scene.camera import derive_camera
 
@@ -40,14 +47,14 @@ def main():
         scene = dataclasses.replace(scene, camera=cam)
     options = RenderOptions()
 
-    state = init_render_state(scene)
     # warmup + compile
-    state = _render_jit(scene, state, options, jnp.int32(WARMUP_ITERS))
-    jax.block_until_ready(state.accum)
+    _, _, state = render(scene, options, num_iterations=WARMUP_ITERS)
+    jax.block_until_ready(state.accum.x)
 
     t0 = time.perf_counter()
-    state = _render_jit(scene, state, options, jnp.int32(TIMED_ITERS))
-    jax.block_until_ready(state.accum)
+    _, _, state = render(scene, options, num_iterations=TIMED_ITERS,
+                         state=state)
+    jax.block_until_ready(state.accum.x)
     dt = time.perf_counter() - t0
 
     seconds_per_frame = dt / TIMED_ITERS

@@ -76,3 +76,22 @@ def test_draw_uniforms_shapes():
         assert u.shape == (2, 64)
         u = np.asarray(u)
         assert (u >= 0).all() and (u < 1).all()
+
+
+def test_lcg_fold_matches_schrage():
+    """Division-free minstd step == Schrage over random + edge states."""
+    import numpy as np
+    import jax.numpy as jnp
+    from ai_path_tracer_denoiser_tpu.ops.rng import (
+        lcg_next, lcg_next_schrage, mod_mersenne31)
+    rng = np.random.default_rng(7)
+    states = rng.integers(1, 2**31 - 1, size=200_000).astype(np.int32)
+    edges = np.array([1, 2, 48271, 65535, 65536, 2**30, 2**31 - 2], np.int32)
+    states = np.concatenate([states, edges])
+    a = np.asarray(lcg_next(jnp.asarray(states)))
+    b = np.asarray(lcg_next_schrage(jnp.asarray(states)))
+    np.testing.assert_array_equal(a, b)
+    h = rng.integers(0, 2**32, size=200_000, dtype=np.uint64).astype(np.uint32)
+    np.testing.assert_array_equal(
+        np.asarray(mod_mersenne31(jnp.asarray(h))),
+        (h % (2**31 - 1)).astype(np.uint32))
