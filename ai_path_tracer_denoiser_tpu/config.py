@@ -54,6 +54,9 @@ class RenderOptions:
     #   wavefront otherwise.  "xla" forces the wavefront path; "pallas"
     #   forces the megakernel (interpreted off-TPU) and errors if ineligible.
     backend: str = "auto"
+    # Max 1-spp iterations folded into one device dispatch (None = auto:
+    # 64, or 4 for >512-face meshes whose frames run seconds each).
+    iters_per_dispatch: Optional[int] = None
 
     # --- RNG ---
     # "parity": utilhash-seeded minstd LCG reproducing the reference's

@@ -208,73 +208,105 @@ def _triangle_t(v0: Vec3, v1: Vec3, v2: Vec3, o: Vec3, d: Vec3):
     return t, u, w, hit
 
 
-def mesh_intersect_v(mesh: MeshData, o: Vec3, d: Vec3, chunk: int = 2048):
-    """Closest mesh hit for a ray batch: two-phase, gather-light.
+def mesh_intersect_v(mesh: MeshData, o: Vec3, d: Vec3, chunk: int = 16):
+    """Closest mesh hit for a ray batch: single-phase, zero-gather scan.
 
-    Phase 1 scans face chunks carrying only (t_min, winning face index) —
-    the (N, F) product is pure elementwise broadcasting plus a lane-axis
-    argmin, the reference's per-thread running ``t_min`` loop
-    (pathtrace.cu:259-268) turned inside out.  Phase 2 gathers the winner's
-    9+9 vertex/normal components once per ray and recomputes u/w for the
-    barycentric point and normal — O(N) gathers instead of carrying
-    (N, F, 3) attribute tiles.
+    Two TPU decisions drive the structure:
+
+    1. **Faces on sublanes, rays on lanes.**  Each scan step broadcasts a
+       (chunk, 1) face block against (1, N) ray planes into (chunk, N)
+       tiles, then sublane-reduces.  With ``chunk`` small (16) the live
+       intermediates stay a few MB regardless of mesh size; the transposed
+       ((N, chunk), lanes=faces) layout materializes N x chunk tiles per
+       attribute — gigabytes in flight at 800x800, measured ~10^4x slower
+       and faulting the device.
+    2. **No gathers.**  A per-ray "fetch the winning face's attributes"
+       gather costs ~4.5 ms per plane on TPU (scalar path) — 18 of them per
+       bounce dwarfed everything else.  Instead the winner's barycentric
+       point/normal/material are computed *inside* each scan step via a
+       (chunk, N) one-hot masked reduction and carried as finished (N,)
+       planes; cross-chunk winners resolve with the same running-min select
+       as the per-geom loop.
+
+    This is the reference's per-thread running ``t_min`` loop
+    (pathtrace.cu:259-268) turned inside out.  Point/normal conventions
+    follow intersections.h:166-168 (rotated barycentrics for the point,
+    standard for the normal).
     """
     n_rays = o.x.shape[0]
-    f_pad = mesh.padded_count
-    chunk = min(chunk, f_pad)
-    n_chunks = (f_pad + chunk - 1) // chunk
+    # Scan only real faces (sliced/padded to a chunk multiple) — the storage
+    # padding (128-multiple) would otherwise cost up to 6x wasted steps on
+    # small meshes.
+    f_real = max(mesh.num_faces, 1)
+    chunk = min(chunk, -(-f_real // 8) * 8)
+    n_chunks = (f_real + chunk - 1) // chunk
     pad_to = n_chunks * chunk
 
     def pad0(x):
+        if x.shape[0] >= pad_to:
+            return x[:pad_to]
         cfg = [(0, pad_to - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
         return jnp.pad(x, cfg)
 
     verts = pad0(mesh.vertices)                # (Fp, 3, 3)
+    norms = pad0(mesh.normals)
     valid = pad0(mesh.valid)
-    o2 = Vec3(o.x[:, None], o.y[:, None], o.z[:, None])
-    d2 = Vec3(d.x[:, None], d.y[:, None], d.z[:, None])
+    mat_ids = pad0(mesh.material_id)
+    o2 = Vec3(o.x[None, :], o.y[None, :], o.z[None, :])   # (1, N)
+    d2 = Vec3(d.x[None, :], d.y[None, :], d.z[None, :])
+    rows = jnp.arange(chunk, dtype=jnp.int32)[:, None]    # (chunk, 1)
 
-    def face_planes(vs, corner):
-        return Vec3(vs[:, corner, 0][None, :], vs[:, corner, 1][None, :],
-                    vs[:, corner, 2][None, :])
+    def face_planes(arr, corner):
+        # (chunk,) attribute planes -> (chunk, 1) for broadcasting vs (1, N)
+        return Vec3(arr[:, corner, 0][:, None], arr[:, corner, 1][:, None],
+                    arr[:, corner, 2][:, None])
 
     def scan_body(carry, xs):
-        t_min, f_best = carry
-        vs, ok, base = xs
-        t, u, w, hit = _triangle_t(face_planes(vs, 0), face_planes(vs, 1),
-                                   face_planes(vs, 2), o2, d2)
-        t = jnp.where(hit & ok[None, :] & (t > 0.0), t, jnp.inf)
-        j = jnp.argmin(t, axis=1)
-        t_c = jnp.min(t, axis=1)
+        t_min, p_min, n_min, m_min = carry
+        vs, ns, ok, mid = xs
+        v0, v1, v2 = (face_planes(vs, c) for c in range(3))
+        t, u, w, hit = _triangle_t(v0, v1, v2, o2, d2)     # (chunk, N)
+        t = jnp.where(hit & ok[:, None] & (t > 0.0), t, jnp.inf)
+        j = jnp.argmin(t, axis=0)                 # sublane reduce -> (N,)
+        t_c = jnp.min(t, axis=0)
+        onehot = rows == j[None, :]               # (chunk, N)
+
+        def sel(a):                               # (chunk, N) -> (N,)
+            return jnp.sum(jnp.where(onehot, a, 0.0), axis=0)
+
+        # Point/normal evaluated at full (chunk, N) width, then ONE masked
+        # reduction per component — fewer ops than selecting u/w + 18 face
+        # attributes and recombining at (N,) width.
+        # intersections.h:166: rotated barycentrics for the point;
+        # intersections.h:168: standard barycentrics for the normal.
+        n0, n1, n2 = (face_planes(ns, c) for c in range(3))
+        v = 1.0 - u - w
+        p_full = v0 * u + v1 * w + v2 * v
+        n_full = n0 * v + n1 * u + n2 * w
+        p_c = Vec3(sel(p_full.x), sel(p_full.y), sel(p_full.z))
+        n_c = Vec3(sel(n_full.x), sel(n_full.y), sel(n_full.z))
+        m_c = jnp.sum(jnp.where(onehot, mid[:, None], 0), axis=0,
+                      dtype=jnp.int32)
+
         better = t_c < t_min
         return (jnp.where(better, t_c, t_min),
-                jnp.where(better, j.astype(jnp.int32) + base, f_best)), None
+                vwhere(better, p_c, p_min),
+                vwhere(better, n_c, n_min),
+                jnp.where(better, m_c, m_min)), None
 
     init = (jnp.full((n_rays,), jnp.inf),
-            jnp.zeros((n_rays,), jnp.int32))
+            Vec3.full_like(o.x, 0.0), Vec3.full_like(o.x, 0.0),
+            jnp.full((n_rays,), -1, jnp.int32))
     if n_chunks == 1:
-        carry, _ = scan_body(init, (verts, valid, jnp.int32(0)))
+        carry, _ = scan_body(init, (verts, norms, valid, mat_ids))
     else:
         xs = (verts.reshape(n_chunks, chunk, 3, 3),
+              norms.reshape(n_chunks, chunk, 3, 3),
               valid.reshape(n_chunks, chunk),
-              jnp.arange(n_chunks, dtype=jnp.int32) * chunk)
+              mat_ids.reshape(n_chunks, chunk))
         carry, _ = jax.lax.scan(scan_body, init, xs)
-    t_min, f_best = carry
-
-    # Phase 2: re-intersect each ray's single winning face.
-    def corner(arr, c):
-        return Vec3(arr[f_best, c, 0], arr[f_best, c, 1], arr[f_best, c, 2])
-
-    v0, v1, v2 = (corner(verts, c) for c in range(3))
-    norms = pad0(mesh.normals)
-    n0, n1, n2 = (corner(norms, c) for c in range(3))
-    _, u, w, _ = _triangle_t(v0, v1, v2, o, d)
-
-    # Reference's rotated barycentric convention for the point
-    # (intersections.h:166): x*v0 + y*v1 + (1-x-y)*v2; standard for normal.
-    point = v0 * u + v1 * w + v2 * (1.0 - u - w)
-    normal = (n0 * (1.0 - u - w) + n1 * u + n2 * w).normalized_safe()
-    mat = pad0(mesh.material_id)[f_best]
+    t_min, point, normal, mat = carry
+    normal = normal.normalized_safe()
     mat = jnp.where(jnp.isfinite(t_min), mat, -1)
     return t_min, point, normal, mat
 
@@ -299,7 +331,7 @@ def ray_aabb_intersect_v(o: Vec3, d: Vec3, lb, ub) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def intersect_scene_v(geoms: Geoms, mesh: MeshData, o: Vec3, d: Vec3,
-                      ray_culling: bool = True, face_chunk: int = 2048,
+                      ray_culling: bool = True, face_chunk: int = 16,
                       types: Optional[Tuple[int, ...]] = None):
     """Closest-hit query (SoA): dict with planes/Vec3 values; t==-1 on miss."""
     t_g, p_g, n_g, out_g, mat_g = intersect_geoms_v(geoms, o, d, types)
@@ -378,7 +410,7 @@ def _intersect_geoms(geoms: Geoms, ray_o, ray_d):
     return t, p.stack(), n.stack(), outside, mat
 
 
-def _intersect_mesh_chunked(mesh: MeshData, ray_o, ray_d, chunk: int = 2048):
+def _intersect_mesh_chunked(mesh: MeshData, ray_o, ray_d, chunk: int = 16):
     """AoS wrapper over :func:`mesh_intersect_v` (legacy test entry)."""
     t, p, n, mat = mesh_intersect_v(mesh, Vec3.from_rows(ray_o),
                                     Vec3.from_rows(ray_d), chunk)
@@ -386,7 +418,7 @@ def _intersect_mesh_chunked(mesh: MeshData, ray_o, ray_d, chunk: int = 2048):
 
 
 def intersect_scene(geoms: Geoms, mesh: MeshData, ray_o, ray_d,
-                    ray_culling: bool = True, face_chunk: int = 2048,
+                    ray_culling: bool = True, face_chunk: int = 16,
                     use_pallas: bool = False):
     """AoS wrapper over :func:`intersect_scene_v`.
 

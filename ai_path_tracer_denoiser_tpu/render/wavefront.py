@@ -401,13 +401,24 @@ def render(scene: Scene, options: RenderOptions = RenderOptions(),
         num_iterations = scene.iterations
     if state is None:
         state = init_render_state(scene)
-    if _resolve_backend(scene, options, differentiable) == "pallas":
-        from .pallas_backend import render_pallas
-        state = render_pallas(scene, options, num_iterations, state,
-                              interpret=jax.default_backend() == "cpu")
-    else:
-        state = _render_jit(scene, state, options, jnp.int32(num_iterations),
-                            differentiable)
+    backend = _resolve_backend(scene, options, differentiable)
+    # Cap iterations per device dispatch: a single XLA program running for
+    # minutes (huge meshes x thousands of spp) can trip device watchdogs.
+    # Dispatch overhead is ~0.3 ms, negligible against any real chunk.
+    per_dispatch = options.iters_per_dispatch
+    if per_dispatch is None:
+        per_dispatch = 4 if scene.mesh.num_faces > 512 else 64
+    remaining = int(num_iterations)
+    while remaining > 0:
+        k = min(per_dispatch, remaining)
+        if backend == "pallas":
+            from .pallas_backend import render_pallas
+            state = render_pallas(scene, options, k, state,
+                                  interpret=jax.default_backend() == "cpu")
+        else:
+            state = _render_jit(scene, state, options, jnp.int32(k),
+                                differentiable)
+        remaining -= k
     image = current_image(state, scene.camera.resolution)
     gbuffer = assemble_gbuffer(state, scene.camera.resolution, options)
     return image, gbuffer, state
