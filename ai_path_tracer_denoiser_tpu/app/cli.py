@@ -318,18 +318,18 @@ def cmd_bench(args):
     import jax
     import jax.numpy as jnp
 
-    from ..render.wavefront import _render_jit, init_render_state
+    from ..render import render
     results = {}
     for scene_path in args.scenes:
         scene = _load_scene_scaled(scene_path, args.res)
         options = _render_options(args)
-        state = init_render_state(scene)
-        state = _render_jit(scene, state, options, jnp.int32(2))
-        jax.block_until_ready(state.accum)
-        state = init_render_state(scene)
+        # warm compile, then time with a host transfer as the fence
+        # (block_until_ready can return early over tunneled backends)
+        _, _, state = render(scene, options, num_iterations=2)
+        np.asarray(state.accum.x)
         t0 = time.time()
-        state = _render_jit(scene, state, options, jnp.int32(args.iters))
-        jax.block_until_ready(state.accum)
+        _, _, state = render(scene, options, num_iterations=args.iters)
+        np.asarray(state.accum.x)
         dt = (time.time() - t0) * 1e3
         results[os.path.basename(scene_path)] = round(dt, 1)
         print(f"{scene_path}: {args.iters} iterations in {dt:.1f} ms")

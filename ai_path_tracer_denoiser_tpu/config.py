@@ -101,6 +101,10 @@ class TrainOptions:
     seed: int = 0
     # bf16 conv compute with f32 params/accumulation (TPU MXU-friendly).
     bf16_compute: bool = True
+    # jax.checkpoint each scanned frame: O(T)x less BPTT residual memory
+    # for ~30% more backward FLOPs. Required for batch >= 4 at 256^2 on a
+    # 16 GB chip; off at the reference's batch-1 config.
+    remat_frames: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -210,11 +210,17 @@ def apply_frame(params, bn_state, x: jnp.ndarray, hidden: Dict,
 def apply_sequence(params, bn_state, x_seq: jnp.ndarray,
                    train: bool = False, bf16: bool = False,
                    axis_name: Optional[str] = None,
-                   spatial_axis: Optional[str] = None):
+                   spatial_axis: Optional[str] = None,
+                   remat: bool = False):
     """A whole temporal sequence via ``lax.scan`` (train.py:70-75 loop).
 
     Args:
       x_seq: (T, N, H, W, 10) time-major G-buffer sequence.
+      remat: rematerialize each frame's activations in the backward pass
+        (``jax.checkpoint`` around the scan step).  BPTT otherwise keeps
+        every conv activation of all T frames live — at batch 8 x 256^2
+        that exceeds a v5e chip's HBM; remat trades ~30% more FLOPs for
+        O(T) x less residual memory.
     Returns:
       (outputs (T, N, H, W, 3), final_hidden, final_bn_state)
 
@@ -235,5 +241,7 @@ def apply_sequence(params, bn_state, x_seq: jnp.ndarray,
                                        axis_name, spatial_axis)
         return (hidden, state), y
 
+    if remat:
+        step = jax.checkpoint(step)
     (hidden, bn_state), ys = jax.lax.scan(step, (hidden0, bn_state), x_seq)
     return ys, hidden, bn_state

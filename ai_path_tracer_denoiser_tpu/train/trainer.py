@@ -59,7 +59,8 @@ def loss_fn(params, bn_state, inputs, targets,
     """
     outputs, _, new_bn = apply_sequence(params, bn_state, inputs,
                                         train=True, bf16=bf16,
-                                        axis_name=axis_name)
+                                        axis_name=axis_name,
+                                        remat=train_options.remat_frames)
     total, metrics = sequence_loss(
         outputs, targets, train_options.w_spatial, train_options.w_gradient,
         train_options.w_temporal, train_options.frame_ramp[:inputs.shape[0]],

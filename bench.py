@@ -47,14 +47,15 @@ def main():
         scene = dataclasses.replace(scene, camera=cam)
     options = RenderOptions()
 
-    # warmup + compile
+    # warmup + compile; fence with a host transfer (block_until_ready can
+    # return early over tunneled device backends)
     _, _, state = render(scene, options, num_iterations=WARMUP_ITERS)
-    jax.block_until_ready(state.accum.x)
+    np.asarray(state.accum.x)
 
     t0 = time.perf_counter()
     _, _, state = render(scene, options, num_iterations=TIMED_ITERS,
                          state=state)
-    jax.block_until_ready(state.accum.x)
+    np.asarray(state.accum.x)
     dt = time.perf_counter() - t0
 
     seconds_per_frame = dt / TIMED_ITERS
