@@ -178,6 +178,11 @@ def apply_frame(params, bn_state, x: jnp.ndarray, hidden: Dict,
     Returns:
       (denoised (N, H, W, 3), new_hidden, new_bn_state)
     """
+    _, h, w, _ = x.shape
+    if h % 32 or w % 32:
+        raise ValueError(
+            f"input {h}x{w} must be divisible by 32 (5 pool/upsample stages, "
+            "recurrent_autoencoder_model.py:98-117); pad or crop the frame")
     new_hidden = {}
     new_state = {}
     skips = []

@@ -53,7 +53,10 @@ from ..ops.vec3 import Vec3, where as vwhere
 from ..scene.structs import CUBE, Scene
 from .wavefront import RenderLoopState, init_render_state
 
-TILE_ROWS = 128          # (TILE_ROWS, 128) f32 lanes per grid program
+# (TILE_ROWS, 128) f32 lanes per grid program.  64 rows = 8K rays/tile keeps
+# the unrolled bounce loop's live planes well under the 16 MB VMEM budget
+# (256 rows overflows it) and measured slightly faster than 128.
+TILE_ROWS = 64
 _LANES = 128
 
 
