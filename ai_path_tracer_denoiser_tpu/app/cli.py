@@ -318,7 +318,10 @@ def cmd_bench(args):
     import jax
     import jax.numpy as jnp
 
+    import contextlib
+
     from ..render import render
+    from ..utils.debug import profile_trace
     results = {}
     for scene_path in args.scenes:
         scene = _load_scene_scaled(scene_path, args.res)
@@ -327,10 +330,13 @@ def cmd_bench(args):
         # (block_until_ready can return early over tunneled backends)
         _, _, state = render(scene, options, num_iterations=2)
         np.asarray(state.accum.x)
-        t0 = time.time()
-        _, _, state = render(scene, options, num_iterations=args.iters)
-        np.asarray(state.accum.x)
-        dt = (time.time() - t0) * 1e3
+        ctx = (profile_trace(args.profile) if args.profile
+               else contextlib.nullcontext())
+        with ctx:
+            t0 = time.time()
+            _, _, state = render(scene, options, num_iterations=args.iters)
+            np.asarray(state.accum.x)
+            dt = (time.time() - t0) * 1e3
         results[os.path.basename(scene_path)] = round(dt, 1)
         print(f"{scene_path}: {args.iters} iterations in {dt:.1f} ms")
     print(json.dumps(results))
@@ -436,6 +442,8 @@ def main(argv=None):
     add_common(sp, scene=False)
     sp.add_argument("scenes", nargs="+")
     sp.add_argument("--iters", type=int, default=500)
+    sp.add_argument("--profile", default=None, metavar="DIR",
+                    help="write a jax.profiler trace of the timed run")
     sp.set_defaults(fn=cmd_bench)
 
     args = p.parse_args(argv)

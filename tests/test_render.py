@@ -149,3 +149,50 @@ def test_fresnel_dielectric_tir():
     f = float(fresnel_dielectric(jnp.float32(-0.1), jnp.float32(1.0),
                                  jnp.float32(1.5)))
     assert f == 1.0
+
+
+def test_material_gradient_matches_finite_differences(cornell_scene_small):
+    """Pixel-gradient target (SURVEY.md north star): reverse-mode gradients of
+    the rendered radiance w.r.t. the *continuous* scene parameters (material
+    albedo, emittance) must match central finite differences.
+
+    Note on scope: with cosine-weighted diffuse sampling the path throughput
+    is the product of albedos times emittance, so radiance is piecewise
+    CONSTANT in geometry/camera parameters — their a.e. gradient is exactly
+    zero (boundary terms need edge-sampling/reparameterized estimators, a
+    documented non-goal).  Albedo/emittance gradients are the well-posed
+    ones, and they flow through the whole masked bounce loop.
+    """
+    import dataclasses as dc
+    from ai_path_tracer_denoiser_tpu.render.wavefront import (
+        init_render_state, trace_iteration)
+
+    scene = dataclasses.replace(cornell_scene_small, trace_depth=3)
+    opts = RenderOptions(antialias=False)
+
+    def radiance(theta):
+        albedo_scale, emit_scale = theta
+        mats = dc.replace(scene.materials,
+                          color=scene.materials.color * albedo_scale,
+                          emittance=scene.materials.emittance * emit_scale)
+        s = dc.replace(scene, materials=mats)
+        state = trace_iteration(s, opts, init_render_state(s),
+                                differentiable=True)
+        return jnp.mean(jnp.stack(list(state.accum)))
+
+    theta0 = jnp.array([1.0, 1.0], jnp.float32)
+    g = np.asarray(jax.grad(radiance)(theta0))
+    eps = 1e-3
+    for k in range(2):
+        tp = theta0.at[k].add(eps)
+        tm = theta0.at[k].add(-eps)
+        fd = (float(radiance(tp)) - float(radiance(tm))) / (2 * eps)
+        assert np.isfinite(g[k]) and abs(g[k]) > 1e-4, (k, g)
+        np.testing.assert_allclose(g[k], fd, rtol=0.02, atol=1e-4,
+                                   err_msg=f"param {k}")
+
+
+def test_checkify_render_finite(cornell_scene_small):
+    """ERRORCHECK equivalent: per-iteration finite sweep raises on NaN/Inf."""
+    from ai_path_tracer_denoiser_tpu.utils.debug import assert_render_finite
+    assert_render_finite(cornell_scene_small, RenderOptions(), 1)
