@@ -35,8 +35,6 @@ no material sort / first-bounce cache / motion blur, non-differentiable,
 """
 from __future__ import annotations
 
-import dataclasses
-import functools
 from typing import Optional, Tuple
 
 import jax
@@ -63,6 +61,8 @@ _LANES = 128
 def pallas_eligible(scene: Scene, options: RenderOptions,
                     differentiable: bool = False) -> bool:
     w, h = scene.camera.resolution
+    # 2^23 pixel cap: the kernel's pid -> (x, y) split needs pid_f exact
+    # (pid < 2^24) with headroom for tile padding.
     return (not differentiable
             and scene.mesh.num_faces == 0
             and not options.sort_material
@@ -203,10 +203,18 @@ def _build_kernel(scene: Scene, options: RenderOptions, n_pixels: int):
         pid_i32 = (tile * TILE_ROWS + row) * _LANES + col
         pid = pid_i32.astype(jnp.uint32)
         pid_f = pid_i32.astype(jnp.float32)
-        # exact for n_pixels < 2^23: (pid+0.5)/w is never within f32 rounding
-        # distance of an integer boundary
-        y = jnp.floor((pid_f + 0.5) * inv_w)
-        x = pid_f - y * np.float32(w)
+        # Integer div/mod don't lower in Mosaic, so split pid into (y, x)
+        # with a float-reciprocal estimate plus an exact integer fix-up:
+        # the f32 product is within +-1 row of truth for pid < 2^24 (pid_f
+        # exact), and the fix-up corrects the off-by-one rows exactly.
+        y_est = jnp.floor((pid_f + 0.5) * inv_w).astype(jnp.int32)
+        x_int = pid_i32 - y_est * np.int32(w)
+        y_est = jnp.where(x_int < 0, y_est - 1, y_est)
+        x_int = jnp.where(x_int < 0, x_int + np.int32(w), x_int)
+        y_est = jnp.where(x_int >= w, y_est + 1, y_est)
+        x_int = jnp.where(x_int >= w, x_int - np.int32(w), x_int)
+        y = y_est.astype(jnp.float32)
+        x = x_int.astype(jnp.float32)
 
         cpos = (cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2])
         cview = Vec3(cam_ref[0, 3], cam_ref[0, 4], cam_ref[0, 5])
@@ -290,16 +298,36 @@ def _unpack(tensor, n: int):
     return [flat[i] for i in range(k)]
 
 
-@functools.lru_cache(maxsize=32)
-def _compiled_call(scene_key, options: RenderOptions, n_pixels: int,
-                   n_rows: int, interpret: bool):
-    """Build + wrap the pallas_call for a (scene-geometry, options) pair.
+_KERNEL_CACHE: dict = {}
 
-    ``scene_key`` carries the scene object through the lru_cache (scenes are
-    frozen dataclasses with array leaves; identity-keying on the wrapper
-    keeps hashing cheap and correct per loaded scene).
-    """
-    scene = scene_key.scene
+
+def _scene_fingerprint(scene: Scene) -> bytes:
+    """Content hash of everything the kernel bakes in (geometry, materials,
+    resolution, depth) — NOT the camera/iteration window, which are runtime
+    SMEM inputs.  Keying the kernel cache on content (not object identity)
+    is what lets interactive orbits — a fresh Scene per frame via
+    dataclasses.replace(camera=...) — reuse one compiled kernel."""
+    import hashlib
+    h = hashlib.sha1()
+    g = scene.geoms
+    for arr in (g.type, g.material_id, g.transform, g.inverse_transform,
+                g.inv_transpose):
+        h.update(np.asarray(arr).tobytes())
+    m = scene.materials
+    for arr in (m.color, m.specular_color, m.has_reflective,
+                m.has_refractive, m.index_of_refraction, m.emittance):
+        h.update(np.asarray(arr).tobytes())
+    h.update(repr((scene.camera.resolution, scene.trace_depth)).encode())
+    return h.digest()
+
+
+def _compiled_call(scene: Scene, options: RenderOptions, n_pixels: int,
+                   n_rows: int, interpret: bool):
+    """Build + wrap the pallas_call, cached by scene-content fingerprint."""
+    key = (_scene_fingerprint(scene), options, n_pixels, n_rows, interpret)
+    cached = _KERNEL_CACHE.get(key)
+    if cached is not None:
+        return cached
     kernel = _build_kernel(scene, options, n_pixels)
     grid = (n_rows // TILE_ROWS,)
 
@@ -329,19 +357,11 @@ def _compiled_call(scene_key, options: RenderOptions, n_pixels: int,
         input_output_aliases={2: 0, 3: 1},
         interpret=interpret,
     )
-    return jax.jit(call)
-
-
-@dataclasses.dataclass(frozen=True, eq=False)
-class _SceneKey:
-    """Identity-hashed scene wrapper for the kernel cache."""
-    scene: Scene
-
-    def __hash__(self):
-        return id(self.scene)
-
-    def __eq__(self, other):
-        return self.scene is getattr(other, "scene", None)
+    jitted = jax.jit(call)
+    if len(_KERNEL_CACHE) >= 32:
+        _KERNEL_CACHE.pop(next(iter(_KERNEL_CACHE)))
+    _KERNEL_CACHE[key] = jitted
+    return jitted
 
 
 def render_pallas(scene: Scene, options: RenderOptions,
@@ -378,7 +398,7 @@ def render_pallas(scene: Scene, options: RenderOptions,
     accum = _pack(tuple(state.accum), n_rows)
     gbuf = _pack(state.gbuf, n_rows)
 
-    call = _compiled_call(_SceneKey(scene), options, n, n_rows, interpret)
+    call = _compiled_call(scene, options, n, n_rows, interpret)
     acc_out, gb_out = call(cam_row, iters, accum, gbuf)
 
     ax, ay, az = _unpack(acc_out, n)

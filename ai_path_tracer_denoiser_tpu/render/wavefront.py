@@ -382,8 +382,9 @@ def _resolve_backend(scene: Scene, options: RenderOptions,
                              "(mesh, sort_material, cache_first_bounce, "
                              "motion_blur, or differentiable render)")
         return "pallas"
-    # auto: the megakernel wins on TPU; off-TPU it would run interpreted.
-    on_tpu = jax.default_backend() not in ("cpu",)
+    # auto: the megakernel wins on TPU only — Mosaic doesn't lower on
+    # GPU/CPU, and interpret mode is strictly slower than the XLA path.
+    on_tpu = jax.default_backend() == "tpu"
     return "pallas" if (eligible and on_tpu) else "xla"
 
 
@@ -393,9 +394,10 @@ def render(scene: Scene, options: RenderOptions = RenderOptions(),
            differentiable: bool = False):
     """Render ``num_iterations`` spp (defaults to the scene's ITERATIONS).
 
-    Returns (image (H,W,3), gbuffer (10,H,W), final state).  The entire spp
-    loop runs on-device in one compiled program — the XLA wavefront driver
-    or, when eligible on TPU, the Pallas megakernel (pallas_backend.py).
+    Returns (image (H,W,3), gbuffer (10,H,W), final state).  Iterations run
+    on-device in chunks of ``options.iters_per_dispatch`` compiled-program
+    dispatches — the XLA wavefront driver or, when eligible on TPU, the
+    Pallas megakernel (pallas_backend.py).
     """
     if num_iterations is None:
         num_iterations = scene.iterations

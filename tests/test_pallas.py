@@ -46,8 +46,10 @@ def test_pallas_accumulates_across_calls(cornell_scene_small):
 
 
 def test_pallas_eligibility_gates():
+    import os
     from ai_path_tracer_denoiser_tpu.scene import load_scene
-    scene = load_scene("scenes/cornell_box.txt")
+    scene = load_scene(os.path.join(os.path.dirname(__file__), "..",
+                                    "scenes", "cornell_box.txt"))
     assert pallas_eligible(scene, RenderOptions())
     assert not pallas_eligible(scene, RenderOptions(sort_material=True))
     assert not pallas_eligible(scene, RenderOptions(motion_blur=True))
@@ -74,3 +76,51 @@ def test_pallas_nonsquare_and_padding(cornell_scene_small):
     assert np.asarray(img_p).shape == (24, 40, 3)
     np.testing.assert_array_equal(np.asarray(img_x), np.asarray(img_p))
     np.testing.assert_array_equal(np.asarray(gb_x), np.asarray(gb_p))
+
+
+def test_pallas_kernel_cache_reused_across_camera_moves(cornell_scene_small):
+    """Interactive orbits must reuse one compiled kernel: the cache is keyed
+    on scene content (geometry/materials/res/depth), not object identity,
+    and the camera is a runtime SMEM input."""
+    import dataclasses as dc
+    import numpy as np
+    from ai_path_tracer_denoiser_tpu.render import pallas_backend as PB
+    from ai_path_tracer_denoiser_tpu.scene.camera import derive_camera
+
+    scene = _small(cornell_scene_small)
+    PB._KERNEL_CACHE.clear()
+    opts = RenderOptions(backend="pallas")
+    render(scene, opts, num_iterations=1)
+    assert len(PB._KERNEL_CACHE) == 1
+    # orbit: fresh Scene object each frame, same geometry
+    cam2 = derive_camera(scene.camera.resolution, 45.0,
+                         np.asarray(scene.camera.position) + [0.3, 0, 0],
+                         np.asarray(scene.camera.look_at),
+                         np.asarray(scene.camera.up))
+    img2, _, _ = render(dc.replace(scene, camera=cam2), opts,
+                        num_iterations=1)
+    assert len(PB._KERNEL_CACHE) == 1, "camera move recompiled the kernel"
+    img2x, _, _ = render(dc.replace(scene, camera=cam2),
+                         RenderOptions(backend="xla"), num_iterations=1)
+    np.testing.assert_array_equal(np.asarray(img2), np.asarray(img2x))
+
+
+def test_pallas_pixel_split_fixup():
+    """The float y=pid//w estimate + integer fix-up must be exact up to the
+    2^23-pixel eligibility cap (naive float split breaks past ~2^22)."""
+    import jax.numpy as jnp
+    import numpy as np
+    w = 2896
+    n = 2 ** 23  # beyond the naive-exactness bound, at the eligibility cap
+    pid = np.arange(n - 2 ** 20, n, dtype=np.int64)  # worst (largest) pids
+    pid_i32 = jnp.asarray(pid, jnp.int32)
+    pid_f = pid_i32.astype(jnp.float32)
+    inv_w = np.float32(1.0 / w)
+    y = jnp.floor((pid_f + 0.5) * inv_w).astype(jnp.int32)
+    x = pid_i32 - y * np.int32(w)
+    y = jnp.where(x < 0, y - 1, y)
+    x = jnp.where(x < 0, x + np.int32(w), x)
+    y = jnp.where(x >= w, y + 1, y)
+    x = jnp.where(x >= w, x - np.int32(w), x)
+    np.testing.assert_array_equal(np.asarray(y), pid // w)
+    np.testing.assert_array_equal(np.asarray(x), pid % w)
