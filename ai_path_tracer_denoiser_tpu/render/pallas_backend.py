@@ -28,10 +28,11 @@ shape-agnostic SoA elementwise math, equally valid on (N,) arrays under jit
 and (TILE_ROWS, 128) blocks inside a kernel, and the RNG is division-free
 (ops/rng.py lcg_next) so it lowers in Mosaic.
 
-Eligibility (render() falls back to the XLA path otherwise): analytic geoms
-only (no triangle mesh — its winner-gather phase needs XLA's gather),
-no material sort / first-bounce cache / motion blur, non-differentiable,
-< 2^23 pixels (pixel ids must be exact in f32).
+Eligibility (render() falls back to the XLA path otherwise): meshes up to
+MESH_BAKE_MAX_FACES triangles (baked like the geoms; bigger meshes need the
+XLA path's chunked scan), no material sort / first-bounce cache / motion
+blur, non-differentiable, < 2^23 pixels (pixel ids must be exact in f32
+modulo the integer fix-up).
 """
 from __future__ import annotations
 
@@ -58,13 +59,19 @@ TILE_ROWS = 64
 _LANES = 128
 
 
+# Meshes up to this many faces are baked into the kernel as an unrolled
+# per-face running min (the reference's mesh scenes are 12-60 triangles);
+# larger meshes fall back to the XLA path's chunked scan.
+MESH_BAKE_MAX_FACES = 64
+
+
 def pallas_eligible(scene: Scene, options: RenderOptions,
                     differentiable: bool = False) -> bool:
     w, h = scene.camera.resolution
     # 2^23 pixel cap: the kernel's pid -> (x, y) split needs pid_f exact
     # (pid < 2^24) with headroom for tile padding.
     return (not differentiable
-            and scene.mesh.num_faces == 0
+            and scene.mesh.num_faces <= MESH_BAKE_MAX_FACES
             and not options.sort_material
             and not options.cache_first_bounce
             and not options.motion_blur
@@ -96,9 +103,44 @@ def _intersect_geoms_baked(transforms, inverses, inv_transposes, types,
         p_best = vwhere(better, p, p_best)
         n_best = vwhere(better, n, n_best)
         mat_best = jnp.where(better, jnp.int32(int(material_ids[g])), mat_best)
-    miss = ~jnp.isfinite(t_best)
-    t_best = jnp.where(miss, -1.0, t_best)
-    return t_best, p_best, n_best.normalized_safe(), mat_best
+    return t_best, p_best, n_best, mat_best
+
+
+def _intersect_mesh_baked(mesh_np, options, o: Vec3, d: Vec3,
+                          t_best, p_best, n_best, mat_best):
+    """Baked-constant triangle loop, fused into the geom running min.
+
+    mesh_intersect_v's sublane-chunk scan doesn't fit a kernel (scan carries
+    + reductions); at reference scale (<= MESH_BAKE_MAX_FACES) an unrolled
+    per-face Moller-Trumbore with running-min selects is pure full-width VPU
+    math, like the geom loop.  Semantics match intersect_scene_v: AABB cull
+    gate (pathtrace.cu:258), mesh wins only on strictly smaller t, rotated
+    barycentrics for the point / standard for the normal
+    (intersections.h:166-168).
+    """
+    from ..ops.intersect import _triangle_t, ray_aabb_intersect_v
+
+    verts, norms, mat_ids, lb, ub = mesh_np
+    cull = (ray_aabb_intersect_v(o, d, lb, ub) if options.ray_culling
+            else jnp.ones(o.x.shape, bool))
+    for f in range(verts.shape[0]):
+        v0, v1, v2 = (Vec3(*(np.float32(verts[f, c, k]) for k in range(3)))
+                      for c in range(3))
+        t, u, w_, hit = _triangle_t(v0, v1, v2, o, d)
+        t = jnp.where(hit & cull & (t > 0.0), t, jnp.inf)
+        better = t < t_best
+        v = 1.0 - u - w_
+        point = v0 * u + v1 * w_ + v2 * v
+        n0, n1, n2 = (Vec3(*(np.float32(norms[f, c, k]) for k in range(3)))
+                      for c in range(3))
+        # mesh_intersect_v safe-normalizes the winner once; per-face
+        # normalize-then-select picks the same values
+        normal = (n0 * v + n1 * u + n2 * w_).normalized_safe()
+        t_best = jnp.where(better, t, t_best)
+        p_best = vwhere(better, point, p_best)
+        n_best = vwhere(better, normal, n_best)
+        mat_best = jnp.where(better, jnp.int32(int(mat_ids[f])), mat_best)
+    return t_best, p_best, n_best, mat_best
 
 
 def _gather_material_baked(mats, mat_id):
@@ -161,6 +203,25 @@ def _build_kernel(scene: Scene, options: RenderOptions, n_pixels: int):
     types = tuple(int(t) for t in np.asarray(geoms.type))
     material_ids = tuple(int(m) for m in np.asarray(geoms.material_id))
     mats = jax.tree_util.tree_map(lambda a: np.asarray(a), scene.materials)
+    if scene.mesh.num_faces > 0:
+        nf = scene.mesh.num_faces
+        mesh_np = (np.asarray(scene.mesh.vertices, np.float32)[:nf],
+                   np.asarray(scene.mesh.normals, np.float32)[:nf],
+                   np.asarray(scene.mesh.material_id, np.int32)[:nf],
+                   np.asarray(scene.mesh.aabb_lb, np.float32),
+                   np.asarray(scene.mesh.aabb_ub, np.float32))
+    else:
+        mesh_np = None
+
+    def intersect(o, d):
+        t, p, n, mid = _intersect_geoms_baked(
+            transforms, inverses, inv_transposes, types, material_ids, o, d)
+        if mesh_np is not None:
+            t, p, n, mid = _intersect_mesh_baked(mesh_np, options, o, d,
+                                                 t, p, n, mid)
+        miss = ~jnp.isfinite(t)
+        return (jnp.where(miss, -1.0, t), p, n.normalized_safe(),
+                jnp.where(miss, -1, mid))
 
     inv_w = np.float32(1.0 / w)
     half_w = np.float32(w * 0.5)
@@ -249,9 +310,7 @@ def _build_kernel(scene: Scene, options: RenderOptions, n_pixels: int):
 
             # --- bounce loop, unrolled (pathtrace.cu:460-513) ---
             for d_i in range(depth_max):
-                t, point, normal, mat_id = _intersect_geoms_baked(
-                    transforms, inverses, inv_transposes, types,
-                    material_ids, ray_o, ray_d)
+                t, point, normal, mat_id = intersect(ray_o, ray_d)
                 if d_i == 0 and options.denoise:
                     write = (iteration == 1) & (t >= 0.0)
                     g0 = jnp.where(write, normal.x, g0)

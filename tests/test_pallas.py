@@ -124,3 +124,32 @@ def test_pallas_pixel_split_fixup():
     x = jnp.where(x >= w, x - np.int32(w), x)
     np.testing.assert_array_equal(np.asarray(y), pid // w)
     np.testing.assert_array_equal(np.asarray(x), pid % w)
+
+
+def test_pallas_mesh_matches_xla():
+    """Baked-constant triangle loop == XLA chunked mesh scan (to 1 ulp:
+    constant folding changes FMA contraction in the triangle math — observed
+    max diff 3e-8 on 1/10240 elements; geoms remain bit-exact)."""
+    import os
+    import dataclasses as dc
+    import numpy as np
+    from ai_path_tracer_denoiser_tpu.scene import load_scene
+    from ai_path_tracer_denoiser_tpu.scene.camera import derive_camera
+
+    scene = load_scene(os.path.join(os.path.dirname(__file__), "..",
+                                    "scenes", "cornell_mesh_icosahedron.txt"))
+    cam = derive_camera((32, 32), 45.0, np.asarray(scene.camera.position),
+                        np.asarray(scene.camera.look_at),
+                        np.asarray(scene.camera.up))
+    scene = dc.replace(scene, camera=cam, trace_depth=3)
+    assert scene.mesh.num_faces == 20
+    img_x, gb_x, _ = render(scene, RenderOptions(backend="xla"),
+                            num_iterations=2)
+    img_p, gb_p, _ = render(scene, RenderOptions(backend="pallas"),
+                            num_iterations=2)
+    np.testing.assert_allclose(np.asarray(img_x), np.asarray(img_p),
+                               atol=1e-6, rtol=0)
+    np.testing.assert_allclose(np.asarray(gb_x), np.asarray(gb_p),
+                               atol=1e-6, rtol=0)
+    # depth channel sees the mesh (closer than the back wall) somewhere
+    assert (np.asarray(gb_x)[6] > 0).any()
