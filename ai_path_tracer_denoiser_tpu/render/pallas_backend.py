@@ -376,6 +376,17 @@ def _scene_fingerprint(scene: Scene) -> bytes:
     for arr in (m.color, m.specular_color, m.has_reflective,
                 m.has_refractive, m.index_of_refraction, m.emittance):
         h.update(np.asarray(arr).tobytes())
+    # The mesh is baked into the kernel too (_build_kernel slices the first
+    # num_faces rows as constants): hash exactly what gets baked, or two
+    # scenes differing only in mesh would share a kernel.
+    mm = scene.mesh
+    h.update(np.int64(mm.num_faces).tobytes())
+    if mm.num_faces > 0:
+        nf = mm.num_faces
+        for arr in (np.asarray(mm.vertices)[:nf], np.asarray(mm.normals)[:nf],
+                    np.asarray(mm.material_id)[:nf], np.asarray(mm.aabb_lb),
+                    np.asarray(mm.aabb_ub)):
+            h.update(np.ascontiguousarray(arr).tobytes())
     h.update(repr((scene.camera.resolution, scene.trace_depth)).encode())
     return h.digest()
 

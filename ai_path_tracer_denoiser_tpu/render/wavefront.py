@@ -415,8 +415,10 @@ def render(scene: Scene, options: RenderOptions = RenderOptions(),
         k = min(per_dispatch, remaining)
         if backend == "pallas":
             from .pallas_backend import render_pallas
+            # config.py's contract: 'pallas' is interpreted anywhere Mosaic
+            # can't lower (CPU *and* GPU) — only real TPUs compile it.
             state = render_pallas(scene, options, k, state,
-                                  interpret=jax.default_backend() == "cpu")
+                                  interpret=jax.default_backend() != "tpu")
         else:
             state = _render_jit(scene, state, options, jnp.int32(k),
                                 differentiable)

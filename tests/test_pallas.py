@@ -105,6 +105,43 @@ def test_pallas_kernel_cache_reused_across_camera_moves(cornell_scene_small):
     np.testing.assert_array_equal(np.asarray(img2), np.asarray(img2x))
 
 
+def test_pallas_kernel_cache_distinguishes_meshes():
+    """Two scenes differing ONLY in mesh content must not share a compiled
+    kernel (regression: the fingerprint once omitted scene.mesh, so a
+    translated mesh silently rendered the stale baked geometry)."""
+    import os
+    import dataclasses as dc
+    import numpy as np
+    from ai_path_tracer_denoiser_tpu.render import pallas_backend as PB
+    from ai_path_tracer_denoiser_tpu.scene import load_scene
+    from ai_path_tracer_denoiser_tpu.scene.structs import make_mesh
+
+    scene = load_scene(os.path.join(os.path.dirname(__file__), "..",
+                                    "scenes", "cornell_mesh_icosahedron.txt"))
+    scene = _small(scene, res=24, depth=2)
+    nf = scene.mesh.num_faces
+    verts = np.asarray(scene.mesh.vertices)[:nf].copy()
+    norms = np.asarray(scene.mesh.normals)[:nf].copy()
+    mats = np.asarray(scene.mesh.material_id)[:nf].copy()
+    moved = make_mesh(verts + np.float32([0.0, 1.5, 0.0]), norms, mats)
+    scene_moved = dc.replace(scene, mesh=moved)
+    assert (PB._scene_fingerprint(scene)
+            != PB._scene_fingerprint(scene_moved))
+
+    PB._KERNEL_CACHE.clear()
+    opts = RenderOptions(backend="pallas")
+    img_a, _, _ = render(scene, opts, num_iterations=1)
+    img_b, _, _ = render(scene_moved, opts, num_iterations=1)
+    assert len(PB._KERNEL_CACHE) == 2, "mesh change did not re-key the cache"
+    assert not np.array_equal(np.asarray(img_a), np.asarray(img_b)), (
+        "translated mesh rendered identically — stale kernel reused")
+    # and each matches its own XLA render
+    img_bx, _, _ = render(scene_moved, RenderOptions(backend="xla"),
+                          num_iterations=1)
+    np.testing.assert_allclose(np.asarray(img_b), np.asarray(img_bx),
+                               atol=1e-6, rtol=0)
+
+
 def test_pallas_pixel_split_fixup():
     """The float y=pid//w estimate + integer fix-up must be exact up to the
     2^23-pixel eligibility cap (naive float split breaks past ~2^22)."""
