@@ -65,11 +65,16 @@ class RenderOptions:
     rng: str = "parity"
 
     # --- numerics ---
-    # Most ray math stays f32 (geometry needs it); image accumulation dtype.
+    # Most ray math stays f32 (geometry needs it); the radiance accumulator
+    # dtype is switchable: "float32" (default; required for 1000s of spp) or
+    # "bfloat16" (halves the accumulator's HBM footprint; fine for the
+    # 1-spp-per-frame interactive mode).  bfloat16 accumulation routes
+    # through the XLA wavefront path (the megakernel carries f32 tiles).
     accum_dtype: str = "float32"
 
     def __post_init__(self):
         assert self.rng in ("parity", "fast"), self.rng
+        assert self.accum_dtype in ("float32", "bfloat16"), self.accum_dtype
         assert self.backend in ("auto", "xla", "pallas"), self.backend
         # Mirrors the asserts at pathtrace.cu:435-436.
         assert not (self.cache_first_bounce and self.antialias), (
@@ -121,10 +126,15 @@ class ModelOptions:
     leaky_slope: float = 0.1
     # "batch": BatchNorm with batch statistics (reference parity,
     #    cross-device stats via psum when data-parallel).
-    # "group": GroupNorm(8) — recurrence/batch-1-friendly alternative.
+    # "group": GroupNorm(8) — recurrence/batch-1-friendly alternative
+    #    (stateless; effective groups = gcd(8, C) so the reference's
+    #    non-multiple-of-8 widths still normalize, models/layers.py).
     norm: str = "batch"
     bn_eps: float = 1e-5
     bn_momentum: float = 0.1
+
+    def __post_init__(self):
+        assert self.norm in ("batch", "group"), self.norm
 
     @staticmethod
     def tpu_friendly() -> "ModelOptions":

@@ -33,7 +33,22 @@ import jax.numpy as jnp
 
 from ..config import ModelOptions
 from .layers import (batch_norm, bn_init, bn_state_init, conv2d, conv_init,
-                     leaky_relu, max_pool_2x2, upsample_nearest_2x)
+                     group_norm, leaky_relu, max_pool_2x2, upsample_nearest_2x)
+
+
+def _norm(opts: ModelOptions, params, state, x, train, axis_name,
+          spatial_axis):
+    """Normalization dispatch: BatchNorm (reference parity) or GroupNorm(8).
+
+    GroupNorm is stateless — the bn running-stat state passes through
+    untouched so checkpoints keep one structure across both modes.
+    """
+    if opts.norm == "group":
+        y = group_norm(params, x, groups=8, eps=opts.bn_eps,
+                       spatial_axis=spatial_axis)
+        return y, state
+    return batch_norm(params, state, x, train, momentum=opts.bn_momentum,
+                      eps=opts.bn_eps, axis_name=axis_name)
 
 
 # ---------------------------------------------------------------------------
@@ -114,70 +129,78 @@ def param_count(params) -> int:
 # ---------------------------------------------------------------------------
 
 def _down_block(params, state, x, hidden, train, bf16, axis_name,
-                spatial_axis=None):
+                spatial_axis=None, opts: ModelOptions = ModelOptions()):
     """Downsample RecurrentBlock forward (:64-70). Returns (out, new_state)."""
+    slope = opts.leaky_slope
     out1 = conv2d(params["conv1"], x, bf16, spatial_axis)
-    out1, s1 = batch_norm(params["bn1"], state["bn1"], out1, train,
-                          axis_name=axis_name)
-    out1 = leaky_relu(out1)
+    out1, s1 = _norm(opts, params["bn1"], state["bn1"], out1, train,
+                     axis_name, spatial_axis)
+    out1 = leaky_relu(out1, slope)
     h = jnp.concatenate([out1, hidden.astype(out1.dtype)], axis=-1)
     out2 = conv2d(params["conv2"], h, bf16, spatial_axis)
-    out2 = leaky_relu(out2)                       # LReLU before BN (:31-32)
-    out2, s2 = batch_norm(params["bn2"], state["bn2"], out2, train,
-                          axis_name=axis_name)
+    out2 = leaky_relu(out2, slope)                # LReLU before BN (:31-32)
+    out2, s2 = _norm(opts, params["bn2"], state["bn2"], out2, train,
+                     axis_name, spatial_axis)
     out2 = conv2d(params["conv3"], out2, bf16, spatial_axis)
-    out2, s3 = batch_norm(params["bn3"], state["bn3"], out2, train,
-                          axis_name=axis_name)
-    out2 = leaky_relu(out2)
+    out2, s3 = _norm(opts, params["bn3"], state["bn3"], out2, train,
+                     axis_name, spatial_axis)
+    out2 = leaky_relu(out2, slope)
     return out2, {"bn1": s1, "bn2": s2, "bn3": s3}
 
 
 def _bottleneck_block(params, state, x, hidden, train, bf16, axis_name,
-                      spatial_axis=None):
+                      spatial_axis=None, opts: ModelOptions = ModelOptions()):
     """Bottleneck forward (:75-81); layer2 order Conv->BN->LReLU (:55-62)."""
+    slope = opts.leaky_slope
     out1 = conv2d(params["conv1"], x, bf16, spatial_axis)
-    out1, s1 = batch_norm(params["bn1"], state["bn1"], out1, train,
-                          axis_name=axis_name)
-    out1 = leaky_relu(out1)
+    out1, s1 = _norm(opts, params["bn1"], state["bn1"], out1, train,
+                     axis_name, spatial_axis)
+    out1 = leaky_relu(out1, slope)
     h = jnp.concatenate([out1, hidden.astype(out1.dtype)], axis=-1)
     out2 = conv2d(params["conv2"], h, bf16, spatial_axis)
-    out2, s2 = batch_norm(params["bn2"], state["bn2"], out2, train,
-                          axis_name=axis_name)
-    out2 = leaky_relu(out2)
+    out2, s2 = _norm(opts, params["bn2"], state["bn2"], out2, train,
+                     axis_name, spatial_axis)
+    out2 = leaky_relu(out2, slope)
     out2 = conv2d(params["conv3"], out2, bf16, spatial_axis)
-    out2, s3 = batch_norm(params["bn3"], state["bn3"], out2, train,
-                          axis_name=axis_name)
-    out2 = leaky_relu(out2)
+    out2, s3 = _norm(opts, params["bn3"], state["bn3"], out2, train,
+                     axis_name, spatial_axis)
+    out2 = leaky_relu(out2, slope)
     return out2, {"bn1": s1, "bn2": s2, "bn3": s3}
 
 
-def _up_block(params, state, x, train, bf16, axis_name, spatial_axis=None):
+def _up_block(params, state, x, train, bf16, axis_name, spatial_axis=None,
+              opts: ModelOptions = ModelOptions()):
     """Upsample RecurrentBlock forward (:38-47, :72-73)."""
+    slope = opts.leaky_slope
     x = upsample_nearest_2x(x)
     y = conv2d(params["conv1"], x, bf16, spatial_axis)
-    y, s1 = batch_norm(params["bn1"], state["bn1"], y, train,
-                       axis_name=axis_name)
-    y = leaky_relu(y)
+    y, s1 = _norm(opts, params["bn1"], state["bn1"], y, train,
+                  axis_name, spatial_axis)
+    y = leaky_relu(y, slope)
     y = conv2d(params["conv2"], y, bf16, spatial_axis)
-    y, s2 = batch_norm(params["bn2"], state["bn2"], y, train,
-                       axis_name=axis_name)
-    y = leaky_relu(y)
+    y, s2 = _norm(opts, params["bn2"], state["bn2"], y, train,
+                  axis_name, spatial_axis)
+    y = leaky_relu(y, slope)
     return y, {"bn1": s1, "bn2": s2}
 
 
 def apply_frame(params, bn_state, x: jnp.ndarray, hidden: Dict,
                 train: bool = False, bf16: bool = False,
                 axis_name: Optional[str] = None,
-                spatial_axis: Optional[str] = None
+                spatial_axis: Optional[str] = None,
+                options: Optional[ModelOptions] = None
                 ) -> Tuple[jnp.ndarray, Dict, Dict]:
     """One frame through the autoencoder (AutoEncoder.forward, :120-142).
 
     Args:
       x: (N, H, W, 10) G-buffer frame; H, W divisible by 32.
       hidden: dict from ``init_hidden`` (or the previous frame's output).
+      options: norm choice / leaky slope / bn eps+momentum; defaults to the
+        reference configuration (BatchNorm, slope 0.1, eps 1e-5, momentum 0.1).
     Returns:
       (denoised (N, H, W, 3), new_hidden, new_bn_state)
     """
+    opts = options if options is not None else ModelOptions()
     _, h, w, _ = x.shape
     if h % 32 or w % 32:
         raise ValueError(
@@ -191,7 +214,7 @@ def apply_frame(params, bn_state, x: jnp.ndarray, hidden: Dict,
         name = f"enc{i}"
         out, new_state[name] = _down_block(
             params[name], bn_state[name], y, hidden[name], train, bf16,
-            axis_name, spatial_axis)
+            axis_name, spatial_axis, opts)
         new_hidden[name] = out
         y = max_pool_2x2(out)
         # the reference's skip tensors are the *pooled* encoder outputs —
@@ -200,7 +223,7 @@ def apply_frame(params, bn_state, x: jnp.ndarray, hidden: Dict,
 
     out, new_state["bottleneck"] = _bottleneck_block(
         params["bottleneck"], bn_state["bottleneck"], y, hidden["bottleneck"],
-        train, bf16, axis_name, spatial_axis)
+        train, bf16, axis_name, spatial_axis, opts)
     new_hidden["bottleneck"] = out
     y = out
 
@@ -208,7 +231,8 @@ def apply_frame(params, bn_state, x: jnp.ndarray, hidden: Dict,
         name = f"dec{i}"
         y = jnp.concatenate([y, skips[i - 1].astype(y.dtype)], axis=-1)
         y, new_state[name] = _up_block(params[name], bn_state[name], y,
-                                       train, bf16, axis_name, spatial_axis)
+                                       train, bf16, axis_name, spatial_axis,
+                                       opts)
     return y, new_hidden, new_state
 
 
@@ -216,7 +240,8 @@ def apply_sequence(params, bn_state, x_seq: jnp.ndarray,
                    train: bool = False, bf16: bool = False,
                    axis_name: Optional[str] = None,
                    spatial_axis: Optional[str] = None,
-                   remat: bool = False):
+                   remat: bool = False,
+                   options: Optional[ModelOptions] = None):
     """A whole temporal sequence via ``lax.scan`` (train.py:70-75 loop).
 
     Args:
@@ -233,17 +258,20 @@ def apply_sequence(params, bn_state, x_seq: jnp.ndarray,
     the scanned frames — BPTT differentiates through the whole scan.
     """
     t, n, h, w, _ = x_seq.shape
-    from ..config import ModelOptions
     widths = tuple(params[f"enc{i}"]["conv1"]["w"].shape[-1] for i in range(1, 6))
-    opts = ModelOptions(widths=widths,
-                        in_channels=x_seq.shape[-1],
-                        out_channels=params["dec1"]["conv2"]["w"].shape[-1])
-    hidden0 = init_hidden(n, h, w, opts, dtype=x_seq.dtype)
+    import dataclasses as _dc
+    base = options if options is not None else ModelOptions()
+    # widths/channels always come from the params themselves — `options`
+    # only ever overrides behavior knobs (norm, slope, eps, momentum).
+    options = _dc.replace(
+        base, widths=widths, in_channels=x_seq.shape[-1],
+        out_channels=params["dec1"]["conv2"]["w"].shape[-1])
+    hidden0 = init_hidden(n, h, w, options, dtype=x_seq.dtype)
 
     def step(carry, x):
         hidden, state = carry
         y, hidden, state = apply_frame(params, state, x, hidden, train, bf16,
-                                       axis_name, spatial_axis)
+                                       axis_name, spatial_axis, options)
         return (hidden, state), y
 
     if remat:

@@ -133,6 +133,36 @@ def batch_norm(params, state, x: jnp.ndarray, train: bool,
     return y, new_state
 
 
+def group_norm(params, x: jnp.ndarray, groups: int = 8, eps: float = 1e-5,
+               spatial_axis: Optional[str] = None) -> jnp.ndarray:
+    """GroupNorm over (H, W, C/groups) per sample — the batch-1-recurrence-
+    friendly alternative to BatchNorm (ModelOptions.norm="group").
+
+    The effective group count is gcd(groups, C) so channel plans that are
+    not multiples of ``groups`` (the reference's 43/57/76/101, the decoder's
+    3-channel output) still normalize cleanly — matching torch.nn.GroupNorm
+    semantics for the divisible case.  Stateless: no running estimates.
+
+    Under spatial sharding (H split over ``spatial_axis``) the statistics are
+    psum'd across shards so the sharded output equals the unsharded one.
+    """
+    import math as _math
+    n, h, w, c = x.shape
+    g = _math.gcd(groups, c)
+    x32 = x.astype(jnp.float32) if x.dtype == jnp.bfloat16 else x
+    xg = x32.reshape(n, h, w, g, c // g)
+    mean = jnp.mean(xg, axis=(1, 2, 4))            # (N, g)
+    sqmean = jnp.mean(jnp.square(xg), axis=(1, 2, 4))
+    if spatial_axis is not None:
+        mean = jax.lax.pmean(mean, spatial_axis)
+        sqmean = jax.lax.pmean(sqmean, spatial_axis)
+    var = sqmean - jnp.square(mean)
+    mean = mean[:, None, None, :, None]
+    inv = jax.lax.rsqrt(var + eps)[:, None, None, :, None]
+    y = ((xg - mean) * inv).reshape(n, h, w, c)
+    return y * params["scale"] + params["bias"]
+
+
 def leaky_relu(x: jnp.ndarray, slope: float = 0.1) -> jnp.ndarray:
     return jnp.where(x >= 0, x, slope * x)
 

@@ -83,6 +83,10 @@ class Vec3(NamedTuple):
     def abs(self) -> "Vec3":
         return Vec3(jnp.abs(self.x), jnp.abs(self.y), jnp.abs(self.z))
 
+    def astype(self, dtype) -> "Vec3":
+        return Vec3(self.x.astype(dtype), self.y.astype(dtype),
+                    self.z.astype(dtype))
+
     # -- conversions --
     @staticmethod
     def from_rows(a: jnp.ndarray) -> "Vec3":

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..config import TrainOptions
+from ..config import ModelOptions, TrainOptions
 from ..train.trainer import TrainState, train_step
 
 try:  # jax >= 0.6 exposes shard_map at the top level
@@ -34,7 +34,8 @@ def shard_batch(inputs, targets, mesh: Mesh):
 
 
 def make_dp_train_step(mesh: Mesh,
-                       train_options: TrainOptions = TrainOptions()):
+                       train_options: TrainOptions = TrainOptions(),
+                       model_options: "ModelOptions" = None):
     """Jitted data-parallel train step: (state, x, y) -> (state, metrics).
 
     x: (T, N, H, W, 10), y: (T, N, H, W, 3) with N divisible by the data
@@ -44,7 +45,8 @@ def make_dp_train_step(mesh: Mesh,
 
     def local_step(state: TrainState, x, y):
         new_state, metrics = train_step(state, x, y, train_options,
-                                        axis_name="data")
+                                        axis_name="data",
+                                        model_options=model_options)
         return new_state, metrics
 
     smapped = _shard_map(

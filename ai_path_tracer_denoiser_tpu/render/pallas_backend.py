@@ -75,6 +75,7 @@ def pallas_eligible(scene: Scene, options: RenderOptions,
             and not options.sort_material
             and not options.cache_first_bounce
             and not options.motion_blur
+            and options.accum_dtype == "float32"   # kernel carries f32 tiles
             and w * h < 2 ** 23)
 
 
@@ -261,7 +262,13 @@ def _build_kernel(scene: Scene, options: RenderOptions, n_pixels: int):
         tile = pl.program_id(0)
         row = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, _LANES), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, _LANES), 1)
-        pid_i32 = (tile * TILE_ROWS + row) * _LANES + col
+        # pixel_offset (SMEM scalar): first global pixel id of this call's
+        # tile — 0 for a whole-frame render, axis_index * tile_size when the
+        # megakernel runs per-shard under shard_map (parallel/render_shard).
+        # Globalizing pid here keeps the RNG stream and the pid->(x,y) split
+        # identical to the single-chip kernel, so a sharded render is
+        # bitwise-equal to an unsharded one.
+        pid_i32 = it_ref[0, 2] + (tile * TILE_ROWS + row) * _LANES + col
         pid = pid_i32.astype(jnp.uint32)
         pid_f = pid_i32.astype(jnp.float32)
         # Integer div/mod don't lower in Mosaic, so split pid into (y, x)
@@ -407,7 +414,7 @@ def _compiled_call(scene: Scene, options: RenderOptions, n_pixels: int,
         in_specs=[
             pl.BlockSpec((1, 16), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 2), lambda i: (0, 0),
+            pl.BlockSpec((1, 3), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((3, TILE_ROWS, _LANES), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
@@ -437,21 +444,26 @@ def _compiled_call(scene: Scene, options: RenderOptions, n_pixels: int,
 def render_pallas(scene: Scene, options: RenderOptions,
                   num_iterations: int,
                   state: Optional[RenderLoopState] = None,
-                  interpret: bool = False) -> RenderLoopState:
+                  interpret: bool = False,
+                  pixel_offset=0) -> RenderLoopState:
     """Run ``num_iterations`` 1-spp iterations through the megakernel.
 
     Same contract as the XLA driver: accumulates into ``state`` and returns
     the advanced state.  ``interpret=True`` runs the kernel in the Pallas
     interpreter (CPU) — used by the equivalence tests.
+
+    ``pixel_offset`` (int or traced scalar) globalizes pixel ids when the
+    state holds only a tile of the frame (shard_map tile parallelism); the
+    state's plane length is then the local tile size, not w*h.
     """
     if not pallas_eligible(scene, options):
         raise ValueError("scene/options not eligible for the pallas backend")
     w, h = scene.camera.resolution
-    n = w * h
-    rows = -(-n // _LANES)                       # ceil(n / 128)
-    n_rows = -(-rows // TILE_ROWS) * TILE_ROWS   # pad to tile multiple
     if state is None:
         state = init_render_state(scene)
+    n = state.accum.x.shape[0]                   # w*h, or the local tile
+    rows = -(-n // _LANES)                       # ceil(n / 128)
+    n_rows = -(-rows // TILE_ROWS) * TILE_ROWS   # pad to tile multiple
 
     cam = scene.camera
     cam_row = jnp.concatenate([
@@ -463,7 +475,8 @@ def render_pallas(scene: Scene, options: RenderOptions,
         jnp.zeros((2,), jnp.float32),
     ]).reshape(1, 16)
     iters = jnp.stack([state.iteration.astype(jnp.int32),
-                       jnp.int32(num_iterations)]).reshape(1, 2)
+                       jnp.int32(num_iterations),
+                       jnp.asarray(pixel_offset, jnp.int32)]).reshape(1, 3)
 
     accum = _pack(tuple(state.accum), n_rows)
     gbuf = _pack(state.gbuf, n_rows)

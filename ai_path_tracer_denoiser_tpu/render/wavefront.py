@@ -24,7 +24,11 @@ Key mapping decisions:
     permutation of the path state, carried through ``pixel_index``; off by
     default exactly as in the reference.
   * **First-bounce cache** (pathtrace.cu:466-476) caches the depth-0
-    intersection of iteration 1 in the loop carry.
+    intersection of iteration 1 in the loop carry.  NOTE: under XLA's
+    static shapes this is *parity-only* — every iteration still computes
+    the fresh depth-0 intersection and a select picks the cached one, so
+    no compute is saved (unlike the reference's skipped kernel launch);
+    it exists so cached renders produce the reference's exact images.
   * The bounce loop is ``lax.while_loop`` for speed or ``lax.scan`` when a
     differentiable path is requested (reverse-mode AD can't cross
     while_loop).
@@ -80,12 +84,16 @@ jax.tree_util.register_dataclass(
      "cache_t", "cache_point", "cache_normal", "cache_mat"], [])
 
 
-def init_render_state(scene: Scene) -> RenderLoopState:
+def init_render_state(scene: Scene,
+                      options: Optional[RenderOptions] = None) -> RenderLoopState:
     w, h = scene.camera.resolution
     n = w * h
     zero = jnp.zeros((n,), jnp.float32)
+    acc_dtype = jnp.dtype(options.accum_dtype) if options is not None \
+        else jnp.float32
+    azero = jnp.zeros((n,), acc_dtype)
     return RenderLoopState(
-        accum=Vec3(zero, zero, zero),
+        accum=Vec3(azero, azero, azero),
         gbuf=tuple(zero for _ in range(7)),
         geoms=scene.geoms,
         iteration=jnp.zeros((), jnp.int32),
@@ -245,6 +253,9 @@ def trace_iteration(scene: Scene, options: RenderOptions,
 
     # ---- depth 0 (peeled: G-buffer emission + first-bounce cache) ----
     if options.cache_first_bounce:
+        # Parity-only (see module docstring): the fresh intersection is
+        # still computed every iteration; the select reproduces the
+        # reference's cached *values*, not its skipped work.
         fresh = intersect_scene_v(geoms, scene.mesh, ray_o, ray_d,
                                   ray_culling=options.ray_culling)
         use_cache = iteration > 1
@@ -319,12 +330,13 @@ def trace_iteration(scene: Scene, options: RenderOptions,
 
     # finalGather (pathtrace.cu:393-402).  Without material sorting lane i is
     # pixel i — a plain add.  With sorting, scatter-add by the permuted index.
+    color_acc = color.astype(state.accum.x.dtype)   # accum_dtype knob
     if options.sort_material:
-        accum = Vec3(state.accum.x.at[pixel_index].add(color.x),
-                     state.accum.y.at[pixel_index].add(color.y),
-                     state.accum.z.at[pixel_index].add(color.z))
+        accum = Vec3(state.accum.x.at[pixel_index].add(color_acc.x),
+                     state.accum.y.at[pixel_index].add(color_acc.y),
+                     state.accum.z.at[pixel_index].add(color_acc.z))
     else:
-        accum = state.accum + color
+        accum = state.accum + color_acc
 
     return RenderLoopState(
         accum=accum, gbuf=gbuf, geoms=geoms, iteration=iteration,
@@ -402,7 +414,7 @@ def render(scene: Scene, options: RenderOptions = RenderOptions(),
     if num_iterations is None:
         num_iterations = scene.iterations
     if state is None:
-        state = init_render_state(scene)
+        state = init_render_state(scene, options)
     backend = _resolve_backend(scene, options, differentiable)
     # Cap iterations per device dispatch: a single XLA program running for
     # minutes (huge meshes x thousands of spp) can trip device watchdogs.
@@ -436,5 +448,5 @@ def render_gbuffer_frame(scene: Scene, options: RenderOptions = RenderOptions(),
     every frame restarts accumulation at iteration 0, so the G-buffer's
     normal/depth/albedo channels are refreshed each frame.
     """
-    state = init_render_state(scene)
+    state = init_render_state(scene, options)
     return render(scene, options, num_iterations=1, state=state)

@@ -51,7 +51,8 @@ def init_train_state(key, model_options: ModelOptions = ModelOptions(),
 
 def loss_fn(params, bn_state, inputs, targets,
             train_options: TrainOptions = TrainOptions(),
-            bf16: bool = False, axis_name: Optional[str] = None):
+            bf16: bool = False, axis_name: Optional[str] = None,
+            model_options: Optional[ModelOptions] = None):
     """BPTT loss over one batch of sequences.
 
     inputs: (T, N, H, W, 10) time-major; targets: (T, N, H, W, 3).
@@ -60,7 +61,8 @@ def loss_fn(params, bn_state, inputs, targets,
     outputs, _, new_bn = apply_sequence(params, bn_state, inputs,
                                         train=True, bf16=bf16,
                                         axis_name=axis_name,
-                                        remat=train_options.remat_frames)
+                                        remat=train_options.remat_frames,
+                                        options=model_options)
     total, metrics = sequence_loss(
         outputs, targets, train_options.w_spatial, train_options.w_gradient,
         train_options.w_temporal, train_options.frame_ramp[:inputs.shape[0]],
@@ -70,13 +72,14 @@ def loss_fn(params, bn_state, inputs, targets,
 
 def train_step(state: TrainState, inputs: jnp.ndarray, targets: jnp.ndarray,
                train_options: TrainOptions = TrainOptions(),
-               axis_name: Optional[str] = None
+               axis_name: Optional[str] = None,
+               model_options: Optional[ModelOptions] = None
                ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """One optimization step (forward 7 frames -> single backward -> Adam)."""
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
     (total, (metrics, new_bn)), grads = grad_fn(
         state.params, state.bn_state, inputs, targets, train_options,
-        train_options.bf16_compute, axis_name)
+        train_options.bf16_compute, axis_name, model_options)
     if axis_name is not None:
         grads = jax.lax.pmean(grads, axis_name)
         metrics = jax.lax.pmean(metrics, axis_name)
@@ -92,14 +95,16 @@ def train_step(state: TrainState, inputs: jnp.ndarray, targets: jnp.ndarray,
 def fit(state: TrainState, data_iter_fn: Callable[[], Iterable],
         train_options: TrainOptions = TrainOptions(),
         epochs: Optional[int] = None,
-        logger=None, checkpoint_fn=None, log_every: int = 5):
+        logger=None, checkpoint_fn=None, log_every: int = 5,
+        model_options: Optional[ModelOptions] = None):
     """Epoch driver (train.py:54-112): StepLR per epoch, periodic checkpoints.
 
     ``data_iter_fn()`` must yield (inputs (T,N,H,W,10), targets (T,N,H,W,3))
     numpy/jnp batches for one epoch.
     """
     epochs = epochs if epochs is not None else train_options.epochs
-    jit_step = jax.jit(lambda s, x, y: train_step(s, x, y, train_options))
+    jit_step = jax.jit(lambda s, x, y: train_step(s, x, y, train_options,
+                                                  model_options=model_options))
     overall_step = int(state.step)
     for epoch in range(epochs):
         lr = step_lr(train_options.lr, epoch, train_options.lr_step_epochs,

@@ -23,6 +23,19 @@ def test_corpus_is_nonempty():
     assert len(ALL_SCENES) >= 15
 
 
+def test_checked_in_randomized_corpus_parses():
+    """scenes/scenes_created/: 30 committed training variants (reference
+    ships scenes_created/ with ~30 — README.md:96-103); each must parse and
+    have a light so datagen never renders black ground truths."""
+    created = sorted(glob.glob(os.path.join(SCENES_DIR, "scenes_created",
+                                            "*.txt")))
+    assert len(created) == 30
+    for path in created:
+        scene = load_scene(path)
+        assert float(np.asarray(scene.materials.emittance).max()) > 0
+        assert scene.geoms.transform.shape[0] >= 7
+
+
 @pytest.mark.parametrize("path", ALL_SCENES, ids=os.path.basename)
 def test_scene_parses(path):
     scene = load_scene(path)
