@@ -32,6 +32,11 @@ class RenderOptions:
     cache_first_bounce: bool = False
     # Gate per-ray triangle loops on a ray/AABB test (pathtrace.cu:23, 258).
     ray_culling: bool = True
+    # Route meshes that carry a cluster hierarchy (ops/bvh.py) through the
+    # Pallas BVH kernel (render/mesh_kernel.py) instead of the O(F) scan.
+    # Ignored for differentiable renders (the kernel has no VJP) and for
+    # meshes loaded without a hierarchy.
+    mesh_bvh: bool = True
 
     # --- effects (pathtrace.cu:25-28) ---
     antialias: bool = True            # sub-pixel jitter, pathtrace.cu:168-173

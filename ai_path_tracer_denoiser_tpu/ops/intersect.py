@@ -332,17 +332,47 @@ def ray_aabb_intersect_v(o: Vec3, d: Vec3, lb, ub) -> jnp.ndarray:
 
 def intersect_scene_v(geoms: Geoms, mesh: MeshData, o: Vec3, d: Vec3,
                       ray_culling: bool = True, face_chunk: int = 16,
-                      types: Optional[Tuple[int, ...]] = None):
-    """Closest-hit query (SoA): dict with planes/Vec3 values; t==-1 on miss."""
+                      types: Optional[Tuple[int, ...]] = None,
+                      use_bvh: Optional[bool] = None,
+                      active: Optional[jnp.ndarray] = None):
+    """Closest-hit query (SoA): dict with planes/Vec3 values; t==-1 on miss.
+
+    ``use_bvh``: route the mesh through the Pallas cluster-BVH kernel
+    (render/mesh_kernel.py) instead of the dense scan.  Default: whenever
+    the mesh carries a hierarchy.  The kernel is not differentiable —
+    callers taking gradients must pass False.
+    ``active``: optional per-ray liveness; dead lanes skip all BVH work
+    (the scan path computes them regardless, masked later by shading).
+    """
     t_g, p_g, n_g, out_g, mat_g = intersect_geoms_v(geoms, o, d, types)
 
     if mesh.num_faces > 0:
-        t_m, p_m, n_m, mat_m = mesh_intersect_v(mesh, o, d, face_chunk)
-        if ray_culling:
-            # Per-ray AABB gate (pathtrace.cu:258).  Masking replaces the
-            # thread-level early-out.
-            cull = ray_aabb_intersect_v(o, d, mesh.aabb_lb, mesh.aabb_ub)
-            t_m = jnp.where(cull, t_m, jnp.inf)
+        if use_bvh is None:
+            use_bvh = mesh.bvh is not None
+        if use_bvh and mesh.bvh is not None:
+            from ..render.mesh_kernel import mesh_intersect_bvh
+            # Seed the kernel's running t with the analytic-geom hit: the
+            # merge below takes the mesh only on *strictly* smaller t, so
+            # pruning candidates >= t_g is exact and skips whole subtrees
+            # for rays that already hit a wall.
+            t_cull = t_g
+            if ray_culling:
+                # Whole-mesh gate kept bit-compatible with the scan path
+                # (the reference's unwidened AABB quirk, pathtrace.cu:258).
+                cull = ray_aabb_intersect_v(o, d, mesh.aabb_lb, mesh.aabb_ub)
+                t_cull = jnp.where(cull, t_cull, -jnp.inf)
+            if active is not None:
+                t_cull = jnp.where(active, t_cull, -jnp.inf)
+            t_m, p_m, n_m, mat_m = mesh_intersect_bvh(
+                mesh.bvh, o, d, t_cull,
+                interpret=jax.default_backend() != "tpu")
+        else:
+            t_m, p_m, n_m, mat_m = mesh_intersect_v(mesh, o, d, face_chunk)
+            if ray_culling:
+                # Per-ray AABB gate (pathtrace.cu:258).  Masking replaces
+                # the thread-level early-out.
+                cull = ray_aabb_intersect_v(o, d, mesh.aabb_lb, mesh.aabb_ub)
+                t_m = jnp.where(cull, t_m, jnp.inf)
         mesh_wins = t_m < t_g
         t = jnp.where(mesh_wins, t_m, t_g)
         point = vwhere(mesh_wins, p_m, p_g)

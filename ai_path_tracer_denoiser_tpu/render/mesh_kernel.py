@@ -1,0 +1,243 @@
+"""Pallas TPU mesh-intersection kernel over the cluster BVH (ops/bvh.py).
+
+The reference's hottest loop is the per-ray brute-force triangle scan
+(pathtrace.cu:258-281): O(faces) per ray, gated by one whole-mesh AABB.
+The XLA re-design (ops/intersect.py:mesh_intersect_v) is the same O(F*N)
+work as dense VPU math — fine at the reference's 12-60 faces, ~3 s/frame
+at 5K faces, hopeless at bunny scale.
+
+This kernel keeps the *arithmetic* of that scan (identical Moller-Trumbore
+blocks, identical one-hot winner extraction, identical running-min merge —
+so results are bitwise equal) but adds what XLA cannot express cheaply:
+**data-dependent skipping**.  Mosaic's scalar core runs real branches in
+nanoseconds, so traversal is three nested ``fori_loop``s over the dense
+AABB levels (hyper -> super -> cluster) where each node is tested against
+the whole ray tile at full VPU width and descended only when
+``jax.lax.cond`` sees any live lane:
+
+  grid      = tiles of LANES (1024) rays; ray planes are (1, LANES) rows
+  node test = 6 scalar reads + a (1, LANES) slab test + any-reduce
+  leaf      = one (32, LANES) MT block vs the cluster's faces (faces on
+              sublanes, rays on lanes — the mesh_intersect_v layout)
+
+Two per-ray culls make secondary bounces cheap: a node is only descended
+for lanes whose AABB *entry* distance beats the running best t, and the
+running t is seeded with the analytic-geom hit (``t_cull``) — a diffuse
+bounce that hits a wall before the mesh skips the whole tree.
+
+Face data stays in HBM ((F, 128) packed rows) and each visited cluster is
+DMA'd to a VMEM scratch slab; only the bounds tables are VMEM-resident
+(~16 B/face), so mesh size is HBM-bound, not VMEM-bound.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.bvh import CLUSTER, FANOUT, MeshBVH
+from ..ops.intersect import _triangle_t
+from ..ops.vec3 import Vec3
+
+LANES = 1024            # rays per grid program (8 native f32 rows)
+_INF = np.float32(np.inf)
+
+# VMEM holds only the bounds tables (~16 B/face); faces stream from HBM.
+# The cap is a sanity bound on the cluster table (2 MB at 1M faces).
+MAX_KERNEL_FACES = 1_000_000
+
+
+def _slab_live(row, o: Vec3, inv: Vec3, t_run):
+    """Ray tile vs one AABB: live = hit & entry-closer-than-current-best.
+
+    Same slab formulation as ops/intersect.py:ray_aabb_intersect_v (which
+    mirrors intersections.h:175-200), plus the entry-distance cull.
+    ``row`` is a (1, 8) bounds row [lbx lby lbz ubx uby ubz _ _].
+    """
+    tmin = jnp.full_like(t_run, -_INF)
+    tmax = jnp.full_like(t_run, _INF)
+    for axis, (oc, ic) in enumerate(((o.x, inv.x), (o.y, inv.y), (o.z, inv.z))):
+        t1 = (row[0, axis] - oc) * ic
+        t2 = (row[0, axis + 3] - oc) * ic
+        tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
+        tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
+    return (tmax >= tmin) & (tmax >= 0.0) & (jnp.maximum(tmin, 0.0) < t_run)
+
+
+def _build_kernel(n_hypers: int):
+    def kernel(rays_ref, faces_ref, cb_ref, sb_ref, hb_ref, out_ref,
+               fscratch, fsem):
+        # rays_ref block: (1, 8, LANES) — rows 0-6 are ox oy oz dx dy dz
+        # t_cull (row 7 pad).  Row slices give (1, LANES) planes.
+        o = Vec3(rays_ref[0, 0:1, :], rays_ref[0, 1:2, :], rays_ref[0, 2:3, :])
+        d = Vec3(rays_ref[0, 3:4, :], rays_ref[0, 4:5, :], rays_ref[0, 5:6, :])
+        t_ub = rays_ref[0, 6:7, :]
+        inv = Vec3(1.0 / d.x, 1.0 / d.y, 1.0 / d.z)
+
+        zero = jnp.zeros_like(t_ub)
+        st0 = (t_ub, zero, zero, zero, zero, zero, zero,
+               jnp.full(t_ub.shape, -1.0, jnp.float32))
+
+        def mt_cluster(k, st):
+            """One (CLUSTER, LANES) Moller-Trumbore block + one-hot winner.
+
+            Identical math to mesh_intersect_v's scan_body (faces on
+            sublanes, first-minimal face wins, point via rotated
+            barycentrics / normal via standard, intersections.h:166-168).
+            """
+            t_run, px, py, pz, nx, ny, nz, mid = st
+            f0 = k * CLUSTER
+            # faces live in HBM (a resident VMEM copy caps mesh size);
+            # DMA the visited cluster's contiguous (32, 128) slab.
+            dma = pltpu.make_async_copy(
+                faces_ref.at[pl.ds(f0, CLUSTER), :], fscratch, fsem)
+            dma.start()
+            dma.wait()
+            vb = fscratch[:]                                 # (32, 128)
+            v0 = Vec3(vb[:, 0:1], vb[:, 1:2], vb[:, 2:3])    # (32, 1)
+            v1 = Vec3(vb[:, 3:4], vb[:, 4:5], vb[:, 5:6])
+            v2 = Vec3(vb[:, 6:7], vb[:, 7:8], vb[:, 8:9])
+            t, u, w_, hit = _triangle_t(v0, v1, v2, o, d)    # (32, LANES)
+            t = jnp.where(hit & (t > 0.0), t, _INF)
+            tmin = jnp.min(t, axis=0, keepdims=True)         # (1, LANES)
+            ismin = t == tmin
+            # first-occurrence-of-min one-hot (scan_body's argmin semantics)
+            # via a second min over row ids — Mosaic has no cumsum/argmin
+            rows = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+            cand = jnp.where(ismin, rows, jnp.int32(CLUSTER))
+            first = rows == jnp.min(cand, axis=0, keepdims=True)
+            better = tmin < t_run                            # strict: earlier face keeps ties
+
+            n0 = Vec3(vb[:, 9:10], vb[:, 10:11], vb[:, 11:12])
+            n1 = Vec3(vb[:, 12:13], vb[:, 13:14], vb[:, 14:15])
+            n2 = Vec3(vb[:, 15:16], vb[:, 16:17], vb[:, 17:18])
+            v = 1.0 - u - w_
+            p_full = v0 * u + v1 * w_ + v2 * v
+            n_full = n0 * v + n1 * u + n2 * w_
+
+            def sel(a):
+                return jnp.sum(jnp.where(first, a, 0.0), axis=0, keepdims=True)
+
+            mb = vb[:, 18:19]                    # (32, 1) material id as f32
+            m_c = jnp.sum(jnp.where(first, mb, 0.0), axis=0, keepdims=True)
+            return (jnp.where(better, tmin, t_run),
+                    jnp.where(better, sel(p_full.x), px),
+                    jnp.where(better, sel(p_full.y), py),
+                    jnp.where(better, sel(p_full.z), pz),
+                    jnp.where(better, sel(n_full.x), nx),
+                    jnp.where(better, sel(n_full.y), ny),
+                    jnp.where(better, sel(n_full.z), nz),
+                    jnp.where(better, m_c, mid))
+
+        def clusters_of(s, st):
+            def body(j, st):
+                k = s * FANOUT + j
+                live = _slab_live(cb_ref[pl.ds(k, 1), :], o, inv, st[0])
+                return jax.lax.cond(jnp.any(live),
+                                    functools.partial(mt_cluster, k),
+                                    lambda q: q, st)
+            return jax.lax.fori_loop(0, FANOUT, body, st)
+
+        def supers_of(h, st):
+            def body(j, st):
+                s = h * FANOUT + j
+                live = _slab_live(sb_ref[pl.ds(s, 1), :], o, inv, st[0])
+                return jax.lax.cond(jnp.any(live),
+                                    functools.partial(clusters_of, s),
+                                    lambda q: q, st)
+            return jax.lax.fori_loop(0, FANOUT, body, st)
+
+        def hyper_body(h, st):
+            live = _slab_live(hb_ref[pl.ds(h, 1), :], o, inv, st[0])
+            return jax.lax.cond(jnp.any(live),
+                                functools.partial(supers_of, h),
+                                lambda q: q, st)
+
+        t_run, px, py, pz, nx, ny, nz, mid = jax.lax.fori_loop(
+            0, n_hypers, hyper_body, st0)
+
+        # winner normal normalized once (mesh_intersect_v:308-309)
+        nrm = Vec3(nx, ny, nz).normalized_safe()
+        found = mid >= 0.0
+        out_ref[0, 0:1, :] = jnp.where(found, t_run, _INF)
+        out_ref[0, 1:2, :] = px
+        out_ref[0, 2:3, :] = py
+        out_ref[0, 3:4, :] = pz
+        out_ref[0, 4:5, :] = nrm.x
+        out_ref[0, 5:6, :] = nrm.y
+        out_ref[0, 6:7, :] = nrm.z
+        # material id rides as f32 (exact for small ints); wrapper decodes
+        out_ref[0, 7:8, :] = mid
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _mesh_bvh_call(bvh: MeshBVH, rays: jnp.ndarray, interpret: bool):
+    """rays: (nT, 8, LANES) rows [ox oy oz dx dy dz t_cull pad] -> out."""
+    n_tiles = rays.shape[0]
+    kernel = _build_kernel(bvh.n_hypers)
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # faces stay in HBM
+            vmem(), vmem(), vmem(),                 # bounds tables
+        ],
+        out_specs=pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 8, LANES), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((CLUSTER, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(rays, bvh.faces_packed,
+      bvh.cluster_bounds, bvh.super_bounds, bvh.hyper_bounds)
+    return out
+
+
+def mesh_intersect_bvh(bvh: MeshBVH, o: Vec3, d: Vec3,
+                       t_cull: Optional[jnp.ndarray] = None,
+                       interpret: bool = False
+                       ) -> Tuple[jnp.ndarray, Vec3, Vec3, jnp.ndarray]:
+    """Closest mesh hit for a ray batch via the BVH kernel.
+
+    Same contract as ops/intersect.py:mesh_intersect_v: returns
+    (t, point, normal, material_id) planes with t=+inf / mat=-1 on miss.
+
+    ``t_cull``: per-ray upper bound on useful hits (the analytic-geom best
+    t; the merge in intersect_scene_v requires the mesh to win *strictly*,
+    so pruning hits >= t_cull is exact).  Use -inf to skip a ray entirely
+    (dead lanes), +inf (default) for an unbounded query.
+    """
+    n = o.x.shape[0]
+    n_tiles = -(-n // LANES)
+    pad = n_tiles * LANES - n
+
+    def padded(x, fill):
+        x = x.astype(jnp.float32)
+        return jnp.pad(x, (0, pad), constant_values=fill) if pad else x
+
+    tc = t_cull if t_cull is not None else jnp.full((n,), _INF)
+    zrow = jnp.zeros((n_tiles * LANES,), jnp.float32)
+    rays = jnp.stack([
+        padded(o.x, 0.0), padded(o.y, 0.0), padded(o.z, 0.0),
+        padded(d.x, 1.0), padded(d.y, 1.0), padded(d.z, 1.0),
+        padded(tc, -_INF),                      # padding lanes: cull all
+        zrow,
+    ]).reshape(8, n_tiles, LANES).swapaxes(0, 1)
+
+    out = _mesh_bvh_call(bvh, rays, interpret)
+    flat = out.swapaxes(0, 1).reshape(8, -1)[:, :n]
+    mat = flat[7].astype(jnp.int32)
+    return (flat[0], Vec3(flat[1], flat[2], flat[3]),
+            Vec3(flat[4], flat[5], flat[6]), mat)

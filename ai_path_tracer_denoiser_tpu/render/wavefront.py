@@ -251,13 +251,18 @@ def trace_iteration(scene: Scene, options: RenderOptions,
     remaining = jnp.full((n,), depth_max, jnp.int32)
     pixel_index = jnp.arange(n, dtype=jnp.int32)   # local gather index
 
+    # BVH kernel routing: the Pallas kernel has no VJP, so differentiable
+    # renders keep the dense (transparently differentiable) scan.
+    use_bvh = options.mesh_bvh and not differentiable
+
     # ---- depth 0 (peeled: G-buffer emission + first-bounce cache) ----
     if options.cache_first_bounce:
         # Parity-only (see module docstring): the fresh intersection is
         # still computed every iteration; the select reproduces the
         # reference's cached *values*, not its skipped work.
         fresh = intersect_scene_v(geoms, scene.mesh, ray_o, ray_d,
-                                  ray_culling=options.ray_culling)
+                                  ray_culling=options.ray_culling,
+                                  use_bvh=use_bvh)
         use_cache = iteration > 1
         isect0 = dict(
             t=jnp.where(use_cache, state.cache_t, fresh["t"]),
@@ -270,7 +275,8 @@ def trace_iteration(scene: Scene, options: RenderOptions,
                  isect0["material_id"])
     else:
         isect0 = intersect_scene_v(geoms, scene.mesh, ray_o, ray_d,
-                                   ray_culling=options.ray_culling)
+                                   ray_culling=options.ray_culling,
+                                   use_bvh=use_bvh)
         cache = (state.cache_t, state.cache_point, state.cache_normal, state.cache_mat)
 
     # G-buffer: normals + depth at depth 0, iteration 1 (pathtrace.cu:295-304).
@@ -301,7 +307,8 @@ def trace_iteration(scene: Scene, options: RenderOptions,
     def bounce(carry, _=None):
         ray_o, ray_d, color, remaining, pixel_index = carry
         isect = intersect_scene_v(geoms, scene.mesh, ray_o, ray_d,
-                                  ray_culling=options.ray_culling)
+                                  ray_culling=options.ray_culling,
+                                  use_bvh=use_bvh, active=remaining != 0)
         ray_o, ray_d, color, remaining = _shade(
             scene, options, iteration, isect, ray_d, color, remaining,
             pixel_offset)
@@ -421,7 +428,12 @@ def render(scene: Scene, options: RenderOptions = RenderOptions(),
     # Dispatch overhead is ~0.3 ms, negligible against any real chunk.
     per_dispatch = options.iters_per_dispatch
     if per_dispatch is None:
-        per_dispatch = 4 if scene.mesh.num_faces > 512 else 64
+        # BVH-accelerated meshes render at near-analytic speed; only huge
+        # meshes on the brute scan need short dispatches (device watchdog).
+        slow_mesh = scene.mesh.num_faces > 512 and not (
+            options.mesh_bvh and scene.mesh.bvh is not None
+            and not differentiable)
+        per_dispatch = 4 if slow_mesh else 64
     remaining = int(num_iterations)
     while remaining > 0:
         k = min(per_dispatch, remaining)

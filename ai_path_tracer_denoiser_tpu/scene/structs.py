@@ -81,6 +81,11 @@ class MeshData:
 
     Faces are padded to a lane-friendly multiple; ``valid`` masks the padding.
     ``num_faces`` is the true (unpadded) count and is static metadata.
+
+    ``bvh`` optionally holds the cluster hierarchy (ops/bvh.py) built at
+    load time for meshes past the brute-force knee; when present, the face
+    arrays here are already in the BVH's Morton order so the scan path and
+    the kernel path share one face order (and tie-breaking).
     """
 
     vertices: jnp.ndarray     # (F, 3, 3) f32 — world-space, pre-transformed
@@ -89,6 +94,7 @@ class MeshData:
     valid: jnp.ndarray        # (F,) bool
     aabb_lb: jnp.ndarray      # (3,) f32  (reference MeshBoundingBox, sceneStructs.h:84-87)
     aabb_ub: jnp.ndarray      # (3,) f32
+    bvh: object = None        # Optional[ops.bvh.MeshBVH]
     num_faces: int = 0        # static
 
     @property
@@ -98,7 +104,8 @@ class MeshData:
 
 _register(
     MeshData,
-    ["vertices", "normals", "material_id", "valid", "aabb_lb", "aabb_ub"],
+    ["vertices", "normals", "material_id", "valid", "aabb_lb", "aabb_ub",
+     "bvh"],
     ["num_faces"],
 )
 
@@ -253,30 +260,50 @@ def pad_faces(vertices: np.ndarray, normals: np.ndarray, material_id: np.ndarray
     return vertices, normals, material_id, valid
 
 
+# Meshes past this face count get a cluster BVH at load time (ops/bvh.py);
+# below it, brute force is cheaper than traversal and the Pallas megakernel
+# can bake the mesh (pallas_backend.MESH_BAKE_MAX_FACES).
+BVH_MIN_FACES = 65
+
+
 def make_mesh(vertices: np.ndarray, normals: np.ndarray, material_id: np.ndarray,
-              multiple: int = 128) -> MeshData:
+              multiple: int = 128, build_bvh: bool = None) -> MeshData:
     """Build padded ``MeshData`` + AABB from world-space triangles.
 
     The AABB mirrors Scene::update_mesh_box (scene.h:28-44) but initializes
     the upper bound to -inf rather than FLT_MIN (the reference uses
     ``std::numeric_limits<float>::min()`` — the smallest *positive* float — at
     scene.cpp:216-218, which only makes its box conservatively larger).
+
+    ``build_bvh``: attach the cluster hierarchy (default: iff the mesh has
+    more than ``BVH_MIN_FACES`` faces).  Building reorders the faces into
+    Morton order, which changes nothing but exact-tie winners.
     """
     num = int(vertices.shape[0])
+    vertices = np.asarray(vertices, np.float32)
+    normals = np.asarray(normals, np.float32)
+    material_id = np.asarray(material_id, np.int32)
+    if build_bvh is None:
+        build_bvh = num > BVH_MIN_FACES
+    bvh = None
+    if build_bvh and num > 0:
+        from ..ops.bvh import build_mesh_bvh
+        bvh, order = build_mesh_bvh(vertices, normals, material_id)
+        vertices, normals, material_id = (
+            vertices[order], normals[order], material_id[order])
     if num:
         lb = vertices.reshape(-1, 3).min(axis=0)
         ub = vertices.reshape(-1, 3).max(axis=0)
     else:
         lb = np.zeros(3, np.float32)
         ub = np.zeros(3, np.float32)
-    v, n, m, valid = pad_faces(
-        vertices.astype(np.float32), normals.astype(np.float32),
-        material_id.astype(np.int32), multiple)
+    v, n, m, valid = pad_faces(vertices, normals, material_id, multiple)
     return MeshData(
         vertices=jnp.asarray(v), normals=jnp.asarray(n),
         material_id=jnp.asarray(m), valid=jnp.asarray(valid),
         aabb_lb=jnp.asarray(lb.astype(np.float32)),
         aabb_ub=jnp.asarray(ub.astype(np.float32)),
+        bvh=bvh,
         num_faces=num,
     )
 
