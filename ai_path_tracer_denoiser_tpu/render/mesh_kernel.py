@@ -71,7 +71,7 @@ def _slab_live(row, o: Vec3, inv: Vec3, t_run):
 
 def _build_kernel(n_hypers: int):
     def kernel(rays_ref, faces_ref, cb_ref, sb_ref, hb_ref, out_ref,
-               fscratch, fsem):
+               state, fscratch, fsem):
         # rays_ref block: (1, 8, LANES) — rows 0-6 are ox oy oz dx dy dz
         # t_cull (row 7 pad).  Row slices give (1, LANES) planes.
         o = Vec3(rays_ref[0, 0:1, :], rays_ref[0, 1:2, :], rays_ref[0, 2:3, :])
@@ -79,18 +79,23 @@ def _build_kernel(n_hypers: int):
         t_ub = rays_ref[0, 6:7, :]
         inv = Vec3(1.0 / d.x, 1.0 / d.y, 1.0 / d.z)
 
+        # Running state lives in a VMEM scratch (rows: t_run, p.xyz, n.xyz,
+        # mat-as-f32) so the descent is pure `pl.when` predication — no
+        # value-carrying conds, the native Mosaic idiom.
         zero = jnp.zeros_like(t_ub)
-        st0 = (t_ub, zero, zero, zero, zero, zero, zero,
-               jnp.full(t_ub.shape, -1.0, jnp.float32))
+        state[0:1, :] = t_ub
+        for r in range(1, 7):
+            state[r:r + 1, :] = zero
+        state[7:8, :] = zero - 1.0
 
-        def mt_cluster(k, st):
+        def mt_cluster(k):
             """One (CLUSTER, LANES) Moller-Trumbore block + one-hot winner.
 
             Identical math to mesh_intersect_v's scan_body (faces on
             sublanes, first-minimal face wins, point via rotated
             barycentrics / normal via standard, intersections.h:166-168).
             """
-            t_run, px, py, pz, nx, ny, nz, mid = st
+            t_run = state[0:1, :]
             f0 = k * CLUSTER
             # faces live in HBM (a resident VMEM copy caps mesh size);
             # DMA the visited cluster's contiguous (32, 128) slab.
@@ -125,49 +130,49 @@ def _build_kernel(n_hypers: int):
 
             mb = vb[:, 18:19]                    # (32, 1) material id as f32
             m_c = jnp.sum(jnp.where(first, mb, 0.0), axis=0, keepdims=True)
-            return (jnp.where(better, tmin, t_run),
-                    jnp.where(better, sel(p_full.x), px),
-                    jnp.where(better, sel(p_full.y), py),
-                    jnp.where(better, sel(p_full.z), pz),
-                    jnp.where(better, sel(n_full.x), nx),
-                    jnp.where(better, sel(n_full.y), ny),
-                    jnp.where(better, sel(n_full.z), nz),
-                    jnp.where(better, m_c, mid))
+            news = (tmin, sel(p_full.x), sel(p_full.y), sel(p_full.z),
+                    sel(n_full.x), sel(n_full.y), sel(n_full.z), m_c)
+            for r, val in enumerate(news):
+                state[r:r + 1, :] = jnp.where(better, val, state[r:r + 1, :])
 
-        def clusters_of(s, st):
-            def body(j, st):
-                k = s * FANOUT + j
-                live = _slab_live(cb_ref[pl.ds(k, 1), :], o, inv, st[0])
-                return jax.lax.cond(jnp.any(live),
-                                    functools.partial(mt_cluster, k),
-                                    lambda q: q, st)
-            return jax.lax.fori_loop(0, FANOUT, body, st)
+        def clusters_of(s, c):
+            k = s * FANOUT + c
+            live = _slab_live(cb_ref[pl.ds(k, 1), :], o, inv, state[0:1, :])
 
-        def supers_of(h, st):
-            def body(j, st):
-                s = h * FANOUT + j
-                live = _slab_live(sb_ref[pl.ds(s, 1), :], o, inv, st[0])
-                return jax.lax.cond(jnp.any(live),
-                                    functools.partial(clusters_of, s),
-                                    lambda q: q, st)
-            return jax.lax.fori_loop(0, FANOUT, body, st)
+            @pl.when(jnp.any(live))
+            def _():
+                mt_cluster(k)
+            return 0
 
-        def hyper_body(h, st):
-            live = _slab_live(hb_ref[pl.ds(h, 1), :], o, inv, st[0])
-            return jax.lax.cond(jnp.any(live),
-                                functools.partial(supers_of, h),
-                                lambda q: q, st)
+        def supers_of(h, j):
+            s = h * FANOUT + j
+            live = _slab_live(sb_ref[pl.ds(s, 1), :], o, inv, state[0:1, :])
 
-        t_run, px, py, pz, nx, ny, nz, mid = jax.lax.fori_loop(
-            0, n_hypers, hyper_body, st0)
+            @pl.when(jnp.any(live))
+            def _():
+                jax.lax.fori_loop(0, FANOUT,
+                                  lambda c, _: clusters_of(s, c), 0)
+            return 0
 
+        def hyper_body(h, _):
+            live = _slab_live(hb_ref[pl.ds(h, 1), :], o, inv, state[0:1, :])
+
+            @pl.when(jnp.any(live))
+            def _():
+                jax.lax.fori_loop(0, FANOUT,
+                                  lambda j, _: supers_of(h, j), 0)
+            return 0
+
+        jax.lax.fori_loop(0, n_hypers, hyper_body, 0)
+
+        mid = state[7:8, :]
         # winner normal normalized once (mesh_intersect_v:308-309)
-        nrm = Vec3(nx, ny, nz).normalized_safe()
+        nrm = Vec3(state[4:5, :], state[5:6, :], state[6:7, :]).normalized_safe()
         found = mid >= 0.0
-        out_ref[0, 0:1, :] = jnp.where(found, t_run, _INF)
-        out_ref[0, 1:2, :] = px
-        out_ref[0, 2:3, :] = py
-        out_ref[0, 3:4, :] = pz
+        out_ref[0, 0:1, :] = jnp.where(found, state[0:1, :], _INF)
+        out_ref[0, 1:2, :] = state[1:2, :]
+        out_ref[0, 2:3, :] = state[2:3, :]
+        out_ref[0, 3:4, :] = state[3:4, :]
         out_ref[0, 4:5, :] = nrm.x
         out_ref[0, 5:6, :] = nrm.y
         out_ref[0, 6:7, :] = nrm.z
@@ -196,7 +201,8 @@ def _mesh_bvh_call(bvh: MeshBVH, rays: jnp.ndarray, interpret: bool):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles, 8, LANES), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((CLUSTER, 128), jnp.float32),
+            pltpu.VMEM((8, LANES), jnp.float32),      # running state rows
+            pltpu.VMEM((CLUSTER, 128), jnp.float32),  # DMA'd face slab
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,

@@ -81,6 +81,19 @@ def test_mesh_blob_renders_and_occludes():
     assert 6.0 < center.mean() < 12.0, center
 
 
+def test_mesh_statue_bvh_renders_and_occludes():
+    """81,920-face statue (bunny/dragon-class): loads with a cluster BVH
+    and the BVH-routed render produces correct occlusion."""
+    scene = _tiny(os.path.join(SCENES_DIR, "cornell_mesh_statue.txt"), res=32)
+    assert scene.mesh.num_faces == 81920
+    assert scene.mesh.bvh is not None and scene.mesh.bvh.n_clusters >= 2560
+    _, gbuf, _ = render(scene, RenderOptions(antialias=False),
+                        num_iterations=1)
+    depth = np.asarray(gbuf)[6]
+    center = depth[14:19, 14:19]
+    assert 6.0 < center.mean() < 12.0, center
+
+
 def test_randomized_variants_parse_and_render():
     with open(os.path.join(SCENES_DIR, "template_random.txt")) as f:
         template = f.read()
