@@ -121,6 +121,13 @@ def cmd_interactive(args):
     hidden = init_hidden(1, h, w, mopts)
     phi, theta, zoom = orbit_params_from_camera(scene.camera)
     os.makedirs(args.out_dir, exist_ok=True)
+    server = None
+    if args.serve:
+        # live preview stream — the headless stand-in for the reference's
+        # GL window + imshow (preview.cpp:174-203, main.cpp:89-100)
+        from ..utils.preview import PreviewServer
+        server = PreviewServer(port=args.serve)
+        print(f"live preview at http://localhost:{server.port}/")
     for frame in range(args.frames):
         cam = orbit_camera(scene.camera, phi + args.dphi * frame, theta, zoom)
         fscene = dataclasses.replace(scene, camera=cam)
@@ -130,6 +137,8 @@ def cmd_interactive(args):
         denoised, hidden = denoise(params, bn_state, x, hidden)
         out = np.clip(np.asarray(denoised[0]), 0, 1)
         dt = time.time() - t0
+        if server is not None:
+            server.push(out)
         path = save_png_scaled(os.path.join(args.out_dir, f"frame_{frame:04d}"), out)
         print(f"frame {frame}: {dt * 1e3:.1f} ms -> {path}")
 
@@ -379,6 +388,8 @@ def main(argv=None):
     sp.add_argument("--dphi", type=float, default=0.01)
     sp.add_argument("--model", default=None)
     sp.add_argument("--out-dir", default="frames")
+    sp.add_argument("--serve", type=int, default=0, metavar="PORT",
+                    help="stream frames live over HTTP (MJPEG) on PORT")
     sp.set_defaults(fn=cmd_interactive)
 
     sp = sub.add_parser("datagen", help="generate training data")
