@@ -68,10 +68,18 @@ def generate_training_data(
 
     for scene_idx, scene in enumerate(scenes):
         phi, theta, zoom = orbit_params_from_camera(scene.camera)
-        for noise in range(noise_seeds):
-            for frame in range(frames_per_scene):
-                cam = orbit_camera(scene.camera, phi + dphi * frame, theta, zoom)
-                fscene = dataclasses.replace(scene, camera=cam)
+        for frame in range(frames_per_scene):
+            cam = orbit_camera(scene.camera, phi + dphi * frame, theta, zoom)
+            fscene = dataclasses.replace(scene, camera=cam)
+            # ground truth: accumulate gt_spp iterations once per frame —
+            # the noise axis varies only the 1-spp input's RNG stream, so
+            # re-rendering GT per noise seed (as the reference's bash loop
+            # does, train.sh:13-30) would be pure waste.
+            gt_img, _, _ = render(fscene, options, num_iterations=gt_spp)
+            gt = np.clip(np.asarray(gt_img, np.float32), 0.0, 1.0)
+            if options.flip_horizontal:
+                gt = gt[:, ::-1]   # align GT with the flipped G-buffer
+            for noise in range(noise_seeds):
                 # 1-spp input frame. The noise axis shifts the RNG iteration
                 # counter by pre-advancing the state's iteration.
                 state = init_render_state(fscene)
@@ -79,14 +87,12 @@ def generate_training_data(
                     state, iteration=state.iteration + noise * 7919)
                 img1, gbuf, state = render(fscene, options, num_iterations=1,
                                            state=state)
-                # ground truth: accumulate gt_spp iterations from scratch
-                gt_img, _, _ = render(fscene, options, num_iterations=gt_spp)
-
                 inp = _gbuffer_to_input(np.asarray(gbuf))
-                gt = np.clip(np.asarray(gt_img, np.float32), 0.0, 1.0)
-                if options.flip_horizontal:
-                    gt = gt[:, ::-1]   # align GT with the flipped G-buffer
-                stem = f"{scene_idx}_0_{noise}_{frame}"
+                # zero-padded fields: lexicographic order == temporal order,
+                # so the loader's positional windows are truly consecutive
+                # frames (the reference's raw-int names scramble 10 < 2 —
+                # dataloader.py:33 sorted(); parsing is unaffected).
+                stem = f"{scene_idx:03d}_0_{noise}_{frame:04d}"
                 np.save(os.path.join(input_dir, stem + ".npy"), inp)
                 np.save(os.path.join(gt_dir, stem + ".npy"), gt)
                 if png_dump:
@@ -99,6 +105,7 @@ def generate_training_data(
                     save_png_scaled(os.path.join(out_dir, "Albedos", stem),
                                     inp[..., 7:10])
                     save_png_scaled(os.path.join(out_dir, "GroundTruth", stem), gt)
-                if progress:
-                    print(f"scene {scene_idx} noise {noise} frame {frame} done")
+            if progress:
+                print(f"scene {scene_idx} frame {frame} done "
+                      f"({noise_seeds} noise seeds)")
     return input_dir, gt_dir

@@ -39,26 +39,36 @@ class SequenceDataset:
         self.inputs = sorted(os.listdir(input_dir))
         self.outputs = sorted(os.listdir(gt_dir))
         assert len(self.inputs) == len(self.outputs), "input/gt count mismatch"
-        self.m = m
+        self.m = m     # kept for reference-API parity; superseded below
         self.T = sequence_length
         self.crop = crop
         self.crop_size = crop_size
         self.rng = np.random.default_rng(seed)
+        # Per-(scene, mov, noise) max frame, built from the filenames.  The
+        # reference clamps windows with `start = m[...] - 6` (dataloader.py
+        # :48-49) — a *frame number* used as a global file *position*, which
+        # is only correct for a single-scene dataset; with many scenes its
+        # windows silently straddle scene boundaries.  We keep its clamp
+        # semantics but do the arithmetic in positions within the group.
+        self._group_max = {}
+        for fname in self.inputs:
+            parts = fname.split("_")
+            key = (int(parts[0]), int(parts[1]), int(parts[2]))
+            frame = int(parts[3].split(".")[0])
+            self._group_max[key] = max(self._group_max.get(key, -1), frame)
 
     def __len__(self):
         return len(self.inputs)
 
     def __getitem__(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
         name = self.inputs[index]
-        start = index
-        if self.m is not None:
-            parts = name.split("_")
-            last = int(self.m[int(parts[0]), int(parts[1]), int(parts[2])])
-            # clamp the window at the end of this sequence (dataloader.py:48-49)
-            if index > last - (self.T - 1):
-                start = max(0, last - (self.T - 1))
-        else:
-            start = min(start, len(self.inputs) - self.T)
+        parts = name.split("_")
+        key = (int(parts[0]), int(parts[1]), int(parts[2]))
+        frame = int(parts[3].split(".")[0])
+        last = self._group_max[key]
+        # clamp the window at the end of this (scene, mov, noise) sequence
+        start_frame = min(frame, max(0, last - (self.T - 1)))
+        start = index - (frame - start_frame)
         xs, ys = [], []
         for i in range(start, start + self.T):
             xs.append(np.load(os.path.join(self.input_dir, self.inputs[i])))

@@ -23,6 +23,32 @@ def _make_npy_dataset(tmp_path, frames=10, h=64, w=64):
     return str(inp), str(gt)
 
 
+def test_dataset_windows_stay_inside_scene_groups(tmp_path):
+    """Windows near a scene's end clamp within that scene — the reference's
+    frame-number-as-global-position clamp (dataloader.py:48-49) would read
+    into the next scene here."""
+    inp = tmp_path / "input"
+    gt = tmp_path / "gt"
+    inp.mkdir()
+    gt.mkdir()
+    for s in range(2):
+        for f in range(10):
+            stem = f"{s:03d}_0_0_{f:04d}.npy"
+            # encode (scene, frame) in the payload to verify window contents
+            np.save(inp / stem, np.full((8, 8, 10), s * 100 + f, np.float32))
+            np.save(gt / stem, np.full((8, 8, 3), s * 100 + f, np.float32))
+    ds = SequenceDataset(str(inp), str(gt), sequence_length=7)
+    # index 8 = scene 0 frame 8: window must clamp to scene-0 frames 3..9
+    x, _ = ds[8]
+    assert x[:, 0, 0, 0].tolist() == [3, 4, 5, 6, 7, 8, 9]
+    # index 10 = scene 1 frame 0: window is scene-1 frames 0..6
+    x, _ = ds[10]
+    assert x[:, 0, 0, 0].tolist() == [100, 101, 102, 103, 104, 105, 106]
+    # index 19 = scene 1 frame 9: clamps inside scene 1
+    x, _ = ds[19]
+    assert x[:, 0, 0, 0].tolist() == [103, 104, 105, 106, 107, 108, 109]
+
+
 def test_find_max(tmp_path):
     d = tmp_path / "RGB"
     d.mkdir()
