@@ -1,0 +1,296 @@
+"""Full-scale training pipeline: datagen -> train -> eval -> artifacts.
+
+Reproduces the reference's end-to-end training campaign (train.sh ->
+preprocess.py -> train.py -> test.py, README.md:96-189) as one driver:
+
+  1. datagen: randomized scene variants (scene/randomizer.py) rendered at
+     512^2 — 1-spp G-buffers + high-spp ground truths, float32 npy pairs,
+     separate train/ and eval/ scene pools (the eval pool is *unseen*).
+  2. train: BPTT over 7-frame windows, Adam + StepLR(25, 0.2), 256^2
+     aligned crops, metrics to JSONL.
+  3. eval: per-scene L1/MSE/HFEN/temporal on the held-out scenes vs the
+     noisy-input baseline; [input | prediction | GT] GIF strips.
+  4. artifacts: exported npz model + MODEL_CARD.md + loss_curve.png.
+
+Run on the TPU host:  python tools/train_pipeline.py --out runs/r2
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _scenes(template_path: str, count: int, seed: int):
+    from ai_path_tracer_denoiser_tpu.scene import parse_scene_text
+    from ai_path_tracer_denoiser_tpu.scene.camera import derive_camera
+    from ai_path_tracer_denoiser_tpu.scene.randomizer import generate_variants
+
+    template = open(template_path).read()
+    base_dir = os.path.dirname(os.path.abspath(template_path))
+    out = []
+    for text in generate_variants(template, count, seed):
+        out.append(parse_scene_text(text, base_dir=base_dir))
+    return out
+
+
+def _rescale(scene, res):
+    from ai_path_tracer_denoiser_tpu.scene.camera import derive_camera
+    cam = derive_camera((res, res), float(scene.camera.fov[1]),
+                        np.asarray(scene.camera.position),
+                        np.asarray(scene.camera.look_at),
+                        np.asarray(scene.camera.up))
+    return dataclasses.replace(scene, camera=cam)
+
+
+def stage_datagen(args):
+    from ai_path_tracer_denoiser_tpu.config import RenderOptions
+    from ai_path_tracer_denoiser_tpu.data.datagen import generate_training_data
+
+    opts = RenderOptions(backend=args.render_backend)
+    template = os.path.join(REPO, "scenes", "template_random.txt")
+    for split, count, seed, frames in (
+            ("train", args.train_scenes, 42, args.frames),
+            ("eval", args.eval_scenes, 777, max(14, args.frames // 3))):
+        out_dir = os.path.join(args.out, "data", split)
+        if os.path.exists(os.path.join(out_dir, "input")):
+            n = len(os.listdir(os.path.join(out_dir, "input")))
+            if n >= count * frames:
+                print(f"[datagen] {split}: {n} frames already present, skip")
+                continue
+        scenes = [_rescale(s, args.res)
+                  for s in _scenes(template, count, seed)]
+        t0 = time.time()
+        generate_training_data(scenes, out_dir, frames_per_scene=frames,
+                               gt_spp=args.gt_spp,
+                               noise_seeds=args.noise_seeds, options=opts,
+                               progress=True)
+        print(f"[datagen] {split}: {count} scenes x {frames} frames "
+              f"in {time.time() - t0:.0f}s")
+
+
+def stage_train(args):
+    import jax
+    from ai_path_tracer_denoiser_tpu.config import ModelOptions, TrainOptions
+    from ai_path_tracer_denoiser_tpu.data import SequenceDataset, sequence_batches
+    from ai_path_tracer_denoiser_tpu.train import (
+        MetricsLogger, fit, init_train_state, latest_checkpoint,
+        load_checkpoint, save_checkpoint)
+
+    topt = TrainOptions(epochs=args.epochs, batch_size=args.batch,
+                        crop_size=args.crop,
+                        remat_frames=args.batch >= 4)
+    mopt = (ModelOptions.tpu_friendly() if args.tpu_friendly
+            else ModelOptions())
+    state = init_train_state(jax.random.PRNGKey(0), mopt, topt)
+    model_dir = os.path.join(args.out, "models")
+    if args.resume:
+        ckpt = latest_checkpoint(model_dir)
+        if ckpt:
+            state = load_checkpoint(ckpt, state)
+            print(f"[train] resumed {ckpt} at step {int(state.step)}")
+    data = os.path.join(args.out, "data", "train")
+    dataset = SequenceDataset(os.path.join(data, "input"),
+                              os.path.join(data, "gt"),
+                              crop=True, crop_size=args.crop)
+    print(f"[train] {len(dataset)} windows, batch {args.batch}, "
+          f"epochs {args.epochs}, widths {mopt.widths}")
+    logger = MetricsLogger(os.path.join(args.out, "logs"))
+    state = fit(state,
+                lambda: sequence_batches(dataset, batch_size=args.batch,
+                                         seed=int(state.step)),
+                topt, epochs=args.epochs, logger=logger,
+                checkpoint_fn=lambda s, e: save_checkpoint(model_dir, s, e),
+                model_options=mopt)
+    # export deployable artifact
+    from ai_path_tracer_denoiser_tpu.models.export import save_model
+    path = os.path.join(REPO, "artifacts", args.artifact)
+    save_model(path, state.params, state.bn_state,
+               meta={"widths": list(mopt.widths),
+                     "trained_on": f"{args.train_scenes} randomized scenes "
+                                   f"@{args.res}^2, gt {args.gt_spp}spp",
+                     "epochs": args.epochs})
+    print(f"[train] exported {path}")
+    return state
+
+
+def _hfen(pred, gt):
+    """Channel-summed LoG HFEN (train/loss.py hfen; NHWC layout)."""
+    import jax.numpy as jnp
+    from ai_path_tracer_denoiser_tpu.train.loss import hfen
+    return float(hfen(jnp.asarray(pred), jnp.asarray(gt)))
+
+
+def stage_eval(args):
+    import jax
+    import jax.numpy as jnp
+    from ai_path_tracer_denoiser_tpu.config import ModelOptions
+    from ai_path_tracer_denoiser_tpu.data import SequenceDataset
+    from ai_path_tracer_denoiser_tpu.models import (apply_sequence, load_model)
+
+    params, bn_state, meta = load_model(os.path.join(REPO, "artifacts",
+                                                     args.artifact))
+    mopt = ModelOptions(widths=tuple(meta.get("widths",
+                                              (32, 43, 57, 76, 101))))
+    data = os.path.join(args.out, "data", "eval")
+    dataset = SequenceDataset(os.path.join(data, "input"),
+                              os.path.join(data, "gt"), crop=False)
+    run = jax.jit(lambda x: apply_sequence(params, bn_state, x, train=False,
+                                           bf16=True, options=mopt)[0])
+    per_scene = {}
+    gifs = []
+    seen = set()
+    for idx in range(len(dataset)):
+        name = dataset.inputs[idx]
+        scene_id = name.split("_")[0]
+        frame = int(name.split("_")[3].split(".")[0])
+        if frame != 0 or scene_id in seen:
+            continue            # one leading window per scene
+        seen.add(scene_id)
+        x, y = dataset[idx]
+        pred = np.asarray(run(jnp.asarray(x)[:, None]))[:, 0]
+        pred = np.clip(pred, 0, 1)
+        noisy = x[..., 0:3]
+        rec = {
+            "mse_denoised": float(np.mean((pred - y) ** 2)),
+            "mse_noisy": float(np.mean((noisy - y) ** 2)),
+            "l1_denoised": float(np.mean(np.abs(pred - y))),
+            "hfen_denoised": _hfen(pred, y),
+            "temporal_mse": float(np.mean(
+                (np.diff(pred, axis=0) - np.diff(y, axis=0)) ** 2)),
+        }
+        per_scene[scene_id] = rec
+        strip = np.concatenate([noisy, pred, y], axis=2)   # (T, H, 3W, 3)
+        gifs.append((strip * 255).astype(np.uint8))
+        print(f"[eval] scene {scene_id}: mse {rec['mse_denoised']:.5f} "
+              f"(noisy {rec['mse_noisy']:.5f}, "
+              f"{rec['mse_noisy'] / max(rec['mse_denoised'], 1e-12):.1f}x)")
+
+    with open(os.path.join(args.out, "eval.json"), "w") as f:
+        json.dump(per_scene, f, indent=2)
+    # GIF strips (test.py:43-55 equivalent)
+    try:
+        from PIL import Image
+        frames = [Image.fromarray(fr) for g in gifs for fr in g]
+        frames[0].save(os.path.join(REPO, "artifacts", "eval_unseen.gif"),
+                       save_all=True, append_images=frames[1:],
+                       duration=160, loop=0)
+        print("[eval] wrote artifacts/eval_unseen.gif")
+    except ImportError:
+        pass
+    return per_scene
+
+
+def stage_report(args, per_scene):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    # loss curves from JSONL
+    path = os.path.join(args.out, "logs", "metrics.jsonl")
+    steps, totals, l1s, hfens, temps = [], [], [], [], []
+    with open(path) as f:
+        for line in f:
+            r = json.loads(line)
+            steps.append(r["step"])
+            totals.append(r["total"])
+            l1s.append(r["l1"])
+            hfens.append(r["hfen"])
+            temps.append(r["temporal"])
+    fig, ax = plt.subplots(figsize=(8, 4.5))
+    for vals, label in ((totals, "total"), (l1s, "L1"), (hfens, "HFEN"),
+                        (temps, "temporal")):
+        k = max(1, len(vals) // 400)
+        sm = np.convolve(vals, np.ones(k) / k, mode="valid")
+        ax.plot(steps[:len(sm)], sm, label=label, linewidth=1.2)
+    ax.set_yscale("log")
+    ax.set_xlabel("step")
+    ax.set_ylabel("loss")
+    ax.legend()
+    ax.set_title("denoiser training (multi-scene)")
+    fig.tight_layout()
+    curve = os.path.join(REPO, "artifacts", "loss_curve.png")
+    fig.savefig(curve, dpi=120)
+    print(f"[report] wrote {curve}")
+
+    mses = [r["mse_denoised"] for r in per_scene.values()]
+    noisy = [r["mse_noisy"] for r in per_scene.values()]
+    card = os.path.join(REPO, "artifacts", "MODEL_CARD.md")
+    with open(card, "w") as f:
+        f.write(f"""# {args.artifact}
+
+Recurrent denoising autoencoder trained end-to-end inside this framework
+(no external data): `tools/train_pipeline.py`.
+
+- **Data**: {args.train_scenes} randomized Cornell variants
+  (scene/randomizer.py, reference create_scene.py distributions) at
+  {args.res}^2, {args.frames} frames/scene x {args.noise_seeds} noise
+  seeds, ground truth {args.gt_spp} spp.  Held-out eval pool:
+  {args.eval_scenes} unseen scenes (different randomizer seed).
+- **Training**: {args.epochs} epochs, batch {args.batch} x 7-frame BPTT,
+  256^2 aligned crops, Adam 1e-3 + StepLR(25, 0.2), bf16 conv compute.
+- **Loss curves**: `artifacts/loss_curve.png`; raw JSONL in the run dir.
+
+## Held-out scene results (never seen in training)
+
+| scene | MSE denoised | MSE noisy 1spp | improvement | L1 | HFEN | temporal MSE |
+|---|---|---|---|---|---|---|
+""")
+        for sid, r in sorted(per_scene.items()):
+            f.write(f"| {sid} | {r['mse_denoised']:.5f} | {r['mse_noisy']:.5f} "
+                    f"| {r['mse_noisy'] / max(r['mse_denoised'], 1e-12):.1f}x "
+                    f"| {r['l1_denoised']:.5f} | {r['hfen_denoised']:.4f} "
+                    f"| {r['temporal_mse']:.6f} |\n")
+        f.write(f"""| **mean** | **{np.mean(mses):.5f}** | **{np.mean(noisy):.5f}** """
+                f"""| **{np.mean(noisy) / max(np.mean(mses), 1e-12):.1f}x** | | | |
+
+Strips of [noisy input | prediction | ground truth] for every eval scene:
+`artifacts/eval_unseen.gif`.
+""")
+    print(f"[report] wrote {card}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="runs/r2")
+    ap.add_argument("--res", type=int, default=512)
+    ap.add_argument("--train-scenes", type=int, default=28)
+    ap.add_argument("--eval-scenes", type=int, default=4)
+    ap.add_argument("--frames", type=int, default=48)
+    ap.add_argument("--noise-seeds", type=int, default=1)
+    ap.add_argument("--gt-spp", type=int, default=800)
+    ap.add_argument("--epochs", type=int, default=60)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--crop", type=int, default=256)
+    ap.add_argument("--tpu-friendly", action="store_true")
+    ap.add_argument("--artifact", default="denoiser_multiscene.npz")
+    ap.add_argument("--render-backend", default="xla")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--stages", default="datagen,train,eval,report")
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+    stages = args.stages.split(",")
+    if "datagen" in stages:
+        stage_datagen(args)
+    if "train" in stages:
+        stage_train(args)
+    per_scene = None
+    if "eval" in stages:
+        per_scene = stage_eval(args)
+    if "report" in stages:
+        if per_scene is None:
+            per_scene = json.load(open(os.path.join(args.out, "eval.json")))
+        stage_report(args, per_scene)
+
+
+if __name__ == "__main__":
+    main()
