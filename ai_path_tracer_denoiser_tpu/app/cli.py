@@ -100,7 +100,8 @@ def cmd_interactive(args):
     import jax.numpy as jnp
 
     from ..config import ModelOptions
-    from ..models import apply_frame, init_autoencoder, init_hidden, load_model
+    from ..models import (apply_frame, apply_frame_fast, init_autoencoder,
+                          init_hidden, load_model, prepare_inference)
     from ..render import render_gbuffer_frame
     from ..scene.camera import orbit_camera, orbit_params_from_camera
     from ..utils import save_png_scaled
@@ -116,9 +117,19 @@ def cmd_interactive(args):
         mopts = ModelOptions()
         params, bn_state = init_autoencoder(jax.random.PRNGKey(0), mopts)
 
-    denoise = jax.jit(lambda p, s, x, hd: apply_frame(p, s, x, hd, train=False,
-                                                      bf16=True)[:2])
-    hidden = init_hidden(1, h, w, mopts)
+    if args.parity_denoise or mopts.norm != "batch":
+        # train-graph eval mode: BN applied from running stats each frame
+        denoise = jax.jit(lambda x, hd: apply_frame(
+            params, bn_state, x, hd, train=False, bf16=True,
+            options=mopts)[:2])
+        hidden = init_hidden(1, h, w, mopts)
+    else:
+        # deployment path: BN folded into the convs, bf16 end-to-end
+        # (models/inference.py) — the TorchScript-export analogue
+        # (convert_to_torchscript.py) minus the hidden-reset bug.
+        folded = prepare_inference(params, bn_state, mopts)
+        denoise = jax.jit(lambda x, hd: apply_frame_fast(folded, x, hd, mopts))
+        hidden = init_hidden(1, h, w, mopts, dtype=jnp.bfloat16)
     phi, theta, zoom = orbit_params_from_camera(scene.camera)
     os.makedirs(args.out_dir, exist_ok=True)
     server = None
@@ -134,7 +145,7 @@ def cmd_interactive(args):
         t0 = time.time()
         _, gbuffer, _ = render_gbuffer_frame(fscene, options)
         x = jnp.moveaxis(gbuffer, 0, -1)[None]       # (1, H, W, 10)
-        denoised, hidden = denoise(params, bn_state, x, hidden)
+        denoised, hidden = denoise(x, hidden)
         out = np.clip(np.asarray(denoised[0]), 0, 1)
         dt = time.time() - t0
         if server is not None:
@@ -390,6 +401,9 @@ def main(argv=None):
     sp.add_argument("--out-dir", default="frames")
     sp.add_argument("--serve", type=int, default=0, metavar="PORT",
                     help="stream frames live over HTTP (MJPEG) on PORT")
+    sp.add_argument("--parity-denoise", action="store_true",
+                    help="run the train-graph eval path instead of the "
+                         "BN-folded bf16 deployment path")
     sp.set_defaults(fn=cmd_interactive)
 
     sp = sub.add_parser("datagen", help="generate training data")

@@ -6,3 +6,9 @@ from .autoencoder import (  # noqa: F401
     param_count,
 )
 from .export import save_model, load_model  # noqa: F401
+from .inference import (  # noqa: F401
+    apply_frame_fast,
+    apply_sequence_fast,
+    fold_batchnorm,
+    prepare_inference,
+)

@@ -1,0 +1,196 @@
+"""Inference-optimized denoiser path: BatchNorm folded into conv weights.
+
+At inference BatchNorm is a per-channel affine map with *fixed* running
+statistics (main.cpp:107-111 runs the TorchScript module in eval mode), so
+every BN in the network can be absorbed into an adjacent convolution once,
+offline.  The deployed network is then a pure conv+LeakyReLU graph:
+
+  * 12 fewer elementwise normalization passes per frame,
+  * activations stay bfloat16 end-to-end (f32 only inside the MXU
+    accumulator and the conv bias/LReLU epilogue, which XLA fuses into the
+    conv), halving activation HBM traffic vs the f32-normalized train graph.
+
+Folding rules (exact in real arithmetic):
+
+  conv -> BN   (backward fold):  BN(Wx+b) = (W*g)x + (b-m)*g + beta,
+               g = gamma/sqrt(var+eps), applied per *output* channel.
+               Padding-safe: the affine acts after the conv.
+
+The reference's downsample-block quirk — LeakyReLU *precedes* bn2
+(recurrent_autoencoder_model.py:31-32) — blocks the backward fold of bn2
+into conv2, and a forward fold into conv3 would be wrong under SAME
+zero-padding (the fold's constant shift is absent in the padded border
+ring, and with 5 pooling levels that border error contaminates the whole
+image).  bn2 therefore stays as an explicit per-channel affine (x*s + t),
+which XLA fuses into the preceding conv's epilogue — zero extra HBM passes.
+
+The recurrent hidden states carried between frames are bfloat16 in this
+path; ``fold_batchnorm`` + ``apply_frame_fast`` reproduce
+``apply_frame(train=False)`` to f32 rounding error (tests/test_inference.py).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelOptions
+from .autoencoder import init_hidden
+from .layers import leaky_relu, max_pool_2x2, upsample_nearest_2x
+
+
+# ---------------------------------------------------------------------------
+# Folding
+# ---------------------------------------------------------------------------
+
+def _fold_back(conv, bn, st, eps):
+    """conv followed by BN -> single conv (per-output-channel rescale)."""
+    g = bn["scale"] / jnp.sqrt(st["var"] + eps)
+    return {"w": conv["w"] * g, "b": (conv["b"] - st["mean"]) * g + bn["bias"]}
+
+
+def _affine(bn, st, eps):
+    """Eval-mode BN as a bare per-channel affine: x*s + t."""
+    s = bn["scale"] / jnp.sqrt(st["var"] + eps)
+    return {"s": s, "t": bn["bias"] - st["mean"] * s}
+
+
+def fold_batchnorm(params: Dict, bn_state: Dict,
+                   options: Optional[ModelOptions] = None) -> Dict:
+    """Absorb every BatchNorm into its neighbor conv. Returns conv-only params.
+
+    Only valid for ``options.norm == "batch"`` (running statistics are data-
+    independent); GroupNorm recomputes statistics per sample and cannot fold.
+    """
+    opts = options if options is not None else ModelOptions()
+    if opts.norm != "batch":
+        raise ValueError(f"cannot fold norm={opts.norm!r}; only BatchNorm's "
+                         "fixed eval-mode statistics are foldable")
+    eps = opts.bn_eps
+    out = {}
+    for i in range(1, 6):
+        name = f"enc{i}"
+        p, s = params[name], bn_state[name]
+        # downsample block: lrelu sits between conv2 and bn2
+        # (recurrent_autoencoder_model.py:31-32) -> bn2 survives as an
+        # affine (see module docstring), bn1/bn3 fold backward.
+        out[name] = {
+            "conv1": _fold_back(p["conv1"], p["bn1"], s["bn1"], eps),
+            "conv2": dict(p["conv2"]),
+            "affine2": _affine(p["bn2"], s["bn2"], eps),
+            "conv3": _fold_back(p["conv3"], p["bn3"], s["bn3"], eps),
+        }
+    p, s = params["bottleneck"], bn_state["bottleneck"]
+    out["bottleneck"] = {
+        f"conv{j}": _fold_back(p[f"conv{j}"], p[f"bn{j}"], s[f"bn{j}"], eps)
+        for j in (1, 2, 3)}
+    for i in range(1, 6):
+        name = f"dec{i}"
+        p, s = params[name], bn_state[name]
+        out[name] = {
+            f"conv{j}": _fold_back(p[f"conv{j}"], p[f"bn{j}"], s[f"bn{j}"], eps)
+            for j in (1, 2)}
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Fast apply
+# ---------------------------------------------------------------------------
+
+def _conv_act(conv, x, slope, compute_dtype):
+    """conv3x3 SAME + bias + LeakyReLU, output in ``compute_dtype``.
+
+    The MXU accumulates f32 (preferred_element_type); bias add + LReLU run
+    f32 and XLA fuses them with the final downcast into the conv epilogue,
+    so only the ``compute_dtype`` result is ever materialized in HBM.
+    """
+    y = jax.lax.conv_general_dilated(
+        x.astype(compute_dtype), conv["w"].astype(compute_dtype),
+        window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    return leaky_relu(y + conv["b"], slope).astype(compute_dtype)
+
+
+def apply_frame_fast(folded: Dict, x: jnp.ndarray, hidden: Dict,
+                     options: Optional[ModelOptions] = None,
+                     compute_dtype=jnp.bfloat16
+                     ) -> Tuple[jnp.ndarray, Dict]:
+    """One frame through the folded conv+LReLU network.
+
+    Args:
+      folded: output of ``fold_batchnorm``.
+      x: (N, H, W, 10) G-buffer frame, H and W divisible by 32.
+      hidden: dict from ``init_hidden`` (``compute_dtype`` tensors) or the
+        previous frame's returned hidden.
+    Returns:
+      (denoised (N, H, W, 3) float32, new_hidden in ``compute_dtype``)
+    """
+    opts = options if options is not None else ModelOptions()
+    slope = opts.leaky_slope
+    _, h, w, _ = x.shape
+    if h % 32 or w % 32:
+        raise ValueError(f"input {h}x{w} must be divisible by 32")
+    new_hidden = {}
+    skips = []
+    y = x.astype(compute_dtype)
+    for i in range(1, 6):
+        p = folded[f"enc{i}"]
+        out1 = _conv_act(p["conv1"], y, slope, compute_dtype)
+        hcat = jnp.concatenate(
+            [out1, hidden[f"enc{i}"].astype(compute_dtype)], axis=-1)
+        out2 = _conv_act(p["conv2"], hcat, slope, compute_dtype)
+        out2 = (out2 * p["affine2"]["s"] +
+                p["affine2"]["t"]).astype(compute_dtype)
+        out3 = _conv_act(p["conv3"], out2, slope, compute_dtype)
+        new_hidden[f"enc{i}"] = out3
+        y = max_pool_2x2(out3)
+        skips.append(y)
+
+    p = folded["bottleneck"]
+    out1 = _conv_act(p["conv1"], y, slope, compute_dtype)
+    hcat = jnp.concatenate(
+        [out1, hidden["bottleneck"].astype(compute_dtype)], axis=-1)
+    out2 = _conv_act(p["conv2"], hcat, slope, compute_dtype)
+    y = _conv_act(p["conv3"], out2, slope, compute_dtype)
+    new_hidden["bottleneck"] = y
+
+    for i in range(5, 0, -1):
+        p = folded[f"dec{i}"]
+        y = jnp.concatenate([y, skips[i - 1]], axis=-1)
+        y = upsample_nearest_2x(y)
+        y = _conv_act(p["conv1"], y, slope, compute_dtype)
+        y = _conv_act(p["conv2"], y, slope, compute_dtype)
+    return y.astype(jnp.float32), new_hidden
+
+
+def apply_sequence_fast(folded: Dict, x_seq: jnp.ndarray,
+                        options: Optional[ModelOptions] = None,
+                        compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Scan ``apply_frame_fast`` over a (T, N, H, W, 10) sequence."""
+    t, n, h, w, _ = x_seq.shape
+    widths = tuple(folded[f"enc{i}"]["conv1"]["w"].shape[-1]
+                   for i in range(1, 6))
+    base = options if options is not None else ModelOptions()
+    opts = dataclasses.replace(base, widths=widths)
+    hidden0 = init_hidden(n, h, w, opts, dtype=compute_dtype)
+
+    def step(hidden, x):
+        y, hidden = apply_frame_fast(folded, x, hidden, opts, compute_dtype)
+        return hidden, y
+
+    _, ys = jax.lax.scan(step, hidden0, x_seq)
+    return ys
+
+
+def prepare_inference(params: Dict, bn_state: Dict,
+                      options: Optional[ModelOptions] = None,
+                      compute_dtype=jnp.bfloat16) -> Dict:
+    """Fold BN and pre-cast conv weights to the compute dtype (biases stay
+    f32 for the fused f32 epilogue). One-time cost at model load."""
+    folded = fold_batchnorm(params, bn_state, options)
+    return jax.tree_util.tree_map_with_path(
+        lambda path, a: a.astype(compute_dtype)
+        if path[-1].key == "w" else a, folded)

@@ -111,8 +111,14 @@ def generate_camera_rays_v(camera: Camera, iteration, options: RenderOptions,
 
     Port of generateRayFromCamera (pathtrace.cu:155-182).  The reference
     seeds the jitter RNG with the *previous* iteration's leftover
-    remainingBounces (pathtrace.cu:162) — zero for every terminated path —
-    so we seed with depth=0, which matches every iteration but the first.
+    remainingBounces (pathtrace.cu:162).  That leftover is always 0 from
+    iteration 2 on: termination writes 0 (pathtrace.cu:359, 377) and
+    survivors decrement from traceDepth exactly traceDepth times
+    (pathtrace.cu:369) — so depth=0 seeding here is *exact* parity.  At
+    iteration 1 the reference reads a cudaMalloc'd buffer that is never
+    memset (pathtrace.cu:104) — undefined memory, zero in practice on
+    recycled allocations — so depth=0 is the documented stand-in there
+    (pinned by tests/test_weak_fixes.py::test_raygen_seed_semantics...).
     """
     w, h = camera.resolution
     if pixel_ids is None:

@@ -75,26 +75,33 @@ def bench_render():
 
 
 def bench_denoiser():
-    """Full-frame inference latency at 800x800 padded to 832 (32-divisible)."""
-    from ai_path_tracer_denoiser_tpu.models import (apply_frame,
+    """Full-frame deployed-inference latency at 800x800 padded to 832.
+
+    Measures the BN-folded bf16 deployment path (models/inference.py) —
+    the analogue of the reference's deployed TorchScript module
+    (main.cpp:107-111, 153.8 ms) rather than its training graph.
+    """
+    from ai_path_tracer_denoiser_tpu.models import (apply_frame_fast,
                                                     init_autoencoder,
-                                                    init_hidden)
+                                                    init_hidden,
+                                                    prepare_inference)
     from ai_path_tracer_denoiser_tpu.config import ModelOptions
 
     opts = ModelOptions()
     params, bn_state = init_autoencoder(jax.random.PRNGKey(0), opts)
+    folded = prepare_inference(params, bn_state, opts)
     h = w = 832
     x = jnp.zeros((1, h, w, 10), jnp.float32)
-    hidden = init_hidden(1, h, w, opts)
+    hidden = init_hidden(1, h, w, opts, dtype=jnp.bfloat16)
 
-    fn = jax.jit(lambda p, s, xx, hd: apply_frame(p, s, xx, hd, train=False,
-                                                  bf16=True)[0])
-    _fence(fn(params, bn_state, x, hidden))
+    fn = jax.jit(lambda f, xx, hd: apply_frame_fast(f, xx, hd, opts))
+    y, hidden_out = fn(folded, x, hidden)
+    _fence(y)
     times = []
     for _ in range(REPS):
         t0 = time.perf_counter()
         for _ in range(8):
-            y = fn(params, bn_state, x, hidden)
+            y, _ = fn(folded, x, hidden)
         _fence(y)
         times.append((time.perf_counter() - t0) / 8)
     return sorted(times)

@@ -1,0 +1,105 @@
+"""BN-folded fast inference path (models/inference.py) vs the train graph.
+
+The fold is exact in real arithmetic, so in float32 the folded conv-only
+network must reproduce ``apply_frame(train=False)`` to rounding error —
+including the downsample block's LReLU-before-bn2 quirk
+(recurrent_autoencoder_model.py:31-32) that forces the forward fold of bn2
+into conv3.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ai_path_tracer_denoiser_tpu.config import ModelOptions
+from ai_path_tracer_denoiser_tpu.models import (
+    apply_frame, apply_frame_fast, apply_sequence, apply_sequence_fast,
+    fold_batchnorm, init_autoencoder, init_hidden, prepare_inference)
+
+OPTS = ModelOptions(widths=(8, 11, 13, 16, 24))   # small but odd, like 43/57
+
+
+def _nontrivial_model(key=0):
+    """Params + bn_state with non-default running stats (as after training)."""
+    params, bn_state = init_autoencoder(jax.random.PRNGKey(key), OPTS)
+    k = jax.random.PRNGKey(key + 1)
+    def perturb(path, a):
+        nonlocal k
+        k, sub = jax.random.split(k)
+        leaf = path[-1].key
+        if leaf == "mean":
+            return jax.random.normal(sub, a.shape) * 0.3
+        if leaf == "var":
+            return jnp.abs(jax.random.normal(sub, a.shape)) * 0.5 + 0.7
+        if leaf in ("scale", "bias"):
+            return a + jax.random.normal(sub, a.shape) * 0.2
+        return a
+    bn_state = jax.tree_util.tree_map_with_path(perturb, bn_state)
+    params = jax.tree_util.tree_map_with_path(perturb, params)
+    return params, bn_state
+
+
+def test_folded_matches_eval_mode_f32():
+    params, bn_state = _nontrivial_model()
+    folded = fold_batchnorm(params, bn_state, OPTS)
+    x = jax.random.normal(jax.random.PRNGKey(7), (1, 64, 64, 10))
+    hidden = init_hidden(1, 64, 64, OPTS)
+    # second frame too: carried hidden exercises the conv2 concat path
+    y_ref, hid_ref, _ = apply_frame(params, bn_state, x, hidden,
+                                    train=False, options=OPTS)
+    y_ref2, _, _ = apply_frame(params, bn_state, x * 0.5, hid_ref,
+                               train=False, options=OPTS)
+    y, hid = apply_frame_fast(folded, x, hidden, OPTS,
+                              compute_dtype=jnp.float32)
+    y2, _ = apply_frame_fast(folded, x * 0.5, hid, OPTS,
+                             compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y_ref2),
+                               rtol=1e-4, atol=1e-4)
+    for name in hid:
+        np.testing.assert_allclose(np.asarray(hid[name]),
+                                   np.asarray(hid_ref[name]),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_folded_bf16_close():
+    """bf16 compute tracks the f32 eval output to bf16 tolerance."""
+    params, bn_state = _nontrivial_model(3)
+    folded = prepare_inference(params, bn_state, OPTS)
+    x = jax.random.uniform(jax.random.PRNGKey(9), (1, 64, 64, 10))
+    hidden = init_hidden(1, 64, 64, OPTS, dtype=jnp.bfloat16)
+    y_ref, _, _ = apply_frame(params, bn_state, x, hidden, train=False,
+                              bf16=True, options=OPTS)
+    y, _ = apply_frame_fast(folded, x, hidden, OPTS)
+    assert y.dtype == jnp.float32
+    err = np.max(np.abs(np.asarray(y) - np.asarray(y_ref)))
+    scale = np.max(np.abs(np.asarray(y_ref))) + 1e-6
+    assert err / scale < 0.12, (err, scale)
+
+
+def test_sequence_fast_matches_sequence():
+    params, bn_state = _nontrivial_model(5)
+    folded = fold_batchnorm(params, bn_state, OPTS)
+    x_seq = jax.random.normal(jax.random.PRNGKey(11), (3, 1, 32, 32, 10))
+    y_ref, _, _ = apply_sequence(params, bn_state, x_seq, train=False,
+                                 options=OPTS)
+    y = apply_sequence_fast(folded, x_seq, OPTS, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fold_rejects_groupnorm():
+    params, bn_state = _nontrivial_model(1)
+    with pytest.raises(ValueError, match="GroupNorm|norm="):
+        fold_batchnorm(params, bn_state,
+                       dataclasses.replace(OPTS, norm="group"))
+
+
+def test_prepare_inference_casts_weights_only():
+    params, bn_state = _nontrivial_model(2)
+    folded = prepare_inference(params, bn_state, OPTS)
+    assert folded["enc1"]["conv1"]["w"].dtype == jnp.bfloat16
+    assert folded["enc1"]["conv1"]["b"].dtype == jnp.float32
