@@ -1,0 +1,252 @@
+"""Geometry gradients via silhouette edge sampling (SURVEY.md §7 item 8).
+
+The renderer's radiance estimator is piecewise CONSTANT in geometry and
+camera parameters: a path's contribution is a product of albedos times a
+terminal emittance (wavefront._shade), so the only geometric dependence is
+*which* surfaces the path hits — a discrete event.  Automatic
+differentiation therefore returns zero a.e. for d(image)/d(translation);
+the true derivative of the *expected* image lives entirely on visibility
+boundaries.  This module estimates that boundary term by sampling the
+object's silhouette curve explicitly (the edge-sampling estimator of
+differentiable rasterization/path tracing, applied to primary visibility):
+
+    dJ/dtheta = interior AD term (zero here, kept for generality)
+              + (1/N_px) * oint_C (L_in - L_out) (v . n_out) ds
+
+where C is the silhouette in image space, v = du/dtheta the image-space
+velocity of the edge point, n_out the curve normal pointing out of the
+object's image, and L_in/L_out the radiance just inside/outside the edge.
+
+Scope (documented): analytic *sphere* geoms with uniform scale — their
+silhouette from a pinhole camera is an exact circle in 3D, sampled in
+closed form.  The silhouette must not be occluded by other geometry.
+Secondary (indirect) visibility boundaries are not estimated.  The
+reference has no differentiable rendering at all; this completes the
+framework's "pixel-grad" deliverable for translations, FD-validated in
+tests/test_edge_grad.py.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RenderOptions
+from ..ops.vec3 import Vec3
+from ..scene.structs import Camera, Geoms, Scene
+from .wavefront import _shade, init_render_state, trace_iteration
+from ..ops.intersect import intersect_scene_v
+
+
+# ---------------------------------------------------------------------------
+# Ray-batch radiance (public API: render arbitrary rays, not just pixels)
+# ---------------------------------------------------------------------------
+
+def trace_radiance(scene: Scene, options: RenderOptions,
+                   ray_o: Vec3, ray_d: Vec3, iteration,
+                   lane_offset: int = 0) -> Vec3:
+    """Radiance along arbitrary rays — the bounce core of trace_iteration
+    without camera/G-buffer/accumulator.  One 1-spp estimate per ray;
+    ``iteration`` selects the RNG stream exactly like a frame iteration."""
+    n = ray_d.x.shape[0]
+    color = Vec3.full_like(ray_d.x, 1.0)
+    remaining = jnp.full((n,), scene.trace_depth, jnp.int32)
+
+    def bounce(carry, _):
+        o, d, c, rem = carry
+        isect = intersect_scene_v(scene.geoms, scene.mesh, o, d,
+                                  ray_culling=options.ray_culling,
+                                  use_bvh=False)
+        o, d, c, rem = _shade(scene, options, iteration, isect, d, c, rem,
+                              lane_offset)
+        return (o, d, c, rem), None
+
+    carry = (ray_o, ray_d, color, remaining)
+    carry, _ = jax.lax.scan(bounce, carry, None, length=scene.trace_depth)
+    return carry[2]
+
+
+def mean_radiance(scene: Scene, options: RenderOptions,
+                  ray_o: Vec3, ray_d: Vec3, spp: int,
+                  lane_offset: int = 0) -> Vec3:
+    """Monte-Carlo mean of ``trace_radiance`` over ``spp`` RNG iterations."""
+    def body(acc, it):
+        c = trace_radiance(scene, options, ray_o, ray_d, it, lane_offset)
+        return acc + c, None
+
+    zero = Vec3.full_like(ray_d.x, 0.0)
+    acc, _ = jax.lax.scan(body, zero, jnp.arange(1, spp + 1, dtype=jnp.int32))
+    return acc / float(spp)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable translation of one geom
+# ---------------------------------------------------------------------------
+
+def translate_geom(geoms: Geoms, index: int, delta: jnp.ndarray) -> Geoms:
+    """Shift geom ``index`` by world-space ``delta`` (3,), differentiably.
+
+    T' = Translate(delta) @ T, so transform[:3,3] += delta and the inverse
+    picks up  T'^{-1} = T^{-1} @ Translate(-delta).
+    """
+    t = geoms.transform.at[index, :3, 3].add(delta)
+    shift = -geoms.inverse_transform[index, :, :3] @ delta       # (4,)
+    inv = geoms.inverse_transform.at[index, :, 3].add(shift)
+    invt = geoms.inv_transpose.at[index, 3, :].add(shift)
+    return dataclasses.replace(
+        geoms, translation=geoms.translation.at[index].add(delta),
+        transform=t, inverse_transform=inv, inv_transpose=invt)
+
+
+# ---------------------------------------------------------------------------
+# Sphere silhouette geometry
+# ---------------------------------------------------------------------------
+
+def _orthobasis(dn):
+    """Two unit vectors orthogonal to unit dn (smooth away from the flip)."""
+    a = jnp.where(jnp.abs(dn[0]) < 0.9,
+                  jnp.array([1.0, 0.0, 0.0]), jnp.array([0.0, 1.0, 0.0]))
+    e1 = jnp.cross(dn, a)
+    e1 = e1 / jnp.linalg.norm(e1)
+    return e1, jnp.cross(dn, e1)
+
+
+def silhouette_points_sphere(center: jnp.ndarray, radius, cam_pos: jnp.ndarray,
+                             phis: jnp.ndarray) -> jnp.ndarray:
+    """(N, 3) points on the sphere's silhouette circle as seen from cam_pos.
+
+    The set {x : (x-c).(x-o) = 0, |x-c| = r} is a circle of radius
+    r*sqrt(1-(r/D)^2) centered at c - dn*r^2/D, D = |c-o|.
+    """
+    d = center - cam_pos
+    dist = jnp.linalg.norm(d)
+    dn = d / dist
+    e1, e2 = _orthobasis(dn)
+    cc = center - dn * (radius ** 2 / dist)
+    rs = radius * jnp.sqrt(1.0 - (radius / dist) ** 2)
+    circ = (e1[None, :] * jnp.cos(phis)[:, None]
+            + e2[None, :] * jnp.sin(phis)[:, None])
+    return cc[None, :] + rs * circ
+
+
+def project_to_pixels(x: jnp.ndarray, camera: Camera) -> jnp.ndarray:
+    """World points (N,3) -> continuous pixel coords (N,2), inverting the
+    ray-gen mapping dir = view - right*plx*(px - w/2) - up*ply*(py - h/2)
+    (generate_camera_rays_v; pathtrace.cu:168-173).
+
+    Solves q = k*view - kX*right - kY*up exactly, so the scene-file quirk
+    of an ``up`` that is not orthogonalized against ``view``
+    (derive_camera / scene.cpp:143-152) is handled correctly.
+    """
+    w, h = camera.resolution
+    pos = jnp.asarray(camera.position)
+    basis = jnp.stack([jnp.asarray(camera.view), jnp.asarray(camera.right),
+                       jnp.asarray(camera.up)], axis=1)        # columns
+    q = x - pos[None, :]
+    a = jnp.linalg.solve(basis, q.T).T                          # (N, 3)
+    px = w * 0.5 - a[:, 1] / (a[:, 0] * camera.pixel_length[0])
+    py = h * 0.5 - a[:, 2] / (a[:, 0] * camera.pixel_length[1])
+    return jnp.stack([px, py], axis=-1)
+
+
+def rays_through_pixels(camera: Camera, uv: jnp.ndarray) -> Tuple[Vec3, Vec3]:
+    """Camera rays through continuous pixel coords (N,2), no AA jitter."""
+    pos = jnp.asarray(camera.position)
+    view = jnp.asarray(camera.view)
+    right = jnp.asarray(camera.right)
+    up = jnp.asarray(camera.up)
+    w, h = camera.resolution
+    X = camera.pixel_length[0] * (uv[:, 0] - w * 0.5)
+    Y = camera.pixel_length[1] * (uv[:, 1] - h * 0.5)
+    d = (view[None, :] - right[None, :] * X[:, None]
+         - up[None, :] * Y[:, None])
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    n = uv.shape[0]
+    o = Vec3(jnp.full((n,), pos[0]), jnp.full((n,), pos[1]),
+             jnp.full((n,), pos[2]))
+    return o, Vec3(d[:, 0], d[:, 1], d[:, 2])
+
+
+def sphere_world_radius(geoms: Geoms, index: int) -> float:
+    """Reference spheres are radius-0.5 unit spheres scaled by SCALE
+    (intersections.h:112); uniform scale required for an exact circle."""
+    import numpy as np
+    s = np.asarray(geoms.scale[index])
+    if not (abs(s[0] - s[1]) < 1e-5 and abs(s[0] - s[2]) < 1e-5):
+        raise ValueError(f"edge gradients need uniform sphere scale, got {s}")
+    return 0.5 * float(s[0])
+
+
+# ---------------------------------------------------------------------------
+# The estimator
+# ---------------------------------------------------------------------------
+
+def translation_gradient(scene: Scene, options: RenderOptions,
+                         geom_index: int, *,
+                         n_edge: int = 512, spp: int = 128,
+                         eps_px: float = 0.75,
+                         include_interior: bool = True) -> jnp.ndarray:
+    """d(mean image)/d(translation of geom ``geom_index``) — a (3,) vector.
+
+    J = mean over pixels and RGB of the expected radiance image.  The
+    boundary term samples ``n_edge`` silhouette points, shoots ``spp``
+    paths just inside and outside each (``eps_px`` pixels across the
+    edge), and integrates (L_in - L_out)(v . n) ds in image space.
+    """
+    cam = scene.camera
+    w, h = cam.resolution
+    geoms = scene.geoms
+    radius = sphere_world_radius(geoms, geom_index)
+    cam_pos = jnp.asarray(cam.position)
+    phis = (jnp.arange(n_edge) + 0.5) * (2.0 * jnp.pi / n_edge)
+
+    def uv_of_delta(delta):
+        center = geoms.translation[geom_index] + delta
+        x = silhouette_points_sphere(center, radius, cam_pos, phis)
+        return project_to_pixels(x, cam)
+
+    zero = jnp.zeros((3,))
+    uv = uv_of_delta(zero)                                   # (N, 2)
+    vel = jax.jacfwd(uv_of_delta)(zero)                      # (N, 2, 3)
+    tang = jax.vmap(jax.jacfwd(
+        lambda p: project_to_pixels(
+            silhouette_points_sphere(geoms.translation[geom_index], radius,
+                                     cam_pos, p[None]), cam)[0]))(phis)
+    ds = jnp.linalg.norm(tang, axis=-1)                      # |du/dphi|
+    # outward normal: perpendicular of the tangent, oriented away from the
+    # projected-silhouette centroid
+    n_img = jnp.stack([tang[:, 1], -tang[:, 0]], axis=-1)
+    n_img = n_img / jnp.maximum(jnp.linalg.norm(n_img, axis=-1,
+                                                keepdims=True), 1e-12)
+    outward = jnp.sum((uv - jnp.mean(uv, axis=0, keepdims=True)) * n_img,
+                      axis=-1)
+    n_img = jnp.where(outward[:, None] < 0, -n_img, n_img)
+
+    o_in, d_in = rays_through_pixels(cam, uv - eps_px * n_img)
+    o_out, d_out = rays_through_pixels(cam, uv + eps_px * n_img)
+    l_in = mean_radiance(scene, options, o_in, d_in, spp, lane_offset=0)
+    l_out = mean_radiance(scene, options, o_out, d_out, spp,
+                          lane_offset=1 << 20)
+    ldiff = (l_in.x + l_in.y + l_in.z - l_out.x - l_out.y - l_out.z) / 3.0
+
+    # samples projecting outside the frame contribute nothing to J
+    inside = ((uv[:, 0] >= 0) & (uv[:, 0] <= w)
+              & (uv[:, 1] >= 0) & (uv[:, 1] <= h))
+    weight = jnp.where(inside, ldiff * ds, 0.0)              # (N,)
+    vn = jnp.einsum("nkd,nk->nd", vel, n_img)                # (N, 3)
+    boundary = (2.0 * jnp.pi / n_edge) * (weight[:, None] * vn).sum(0)
+    boundary = boundary / (w * h)
+
+    if not include_interior:
+        return boundary
+
+    def j_interior(delta):
+        s = dataclasses.replace(scene,
+                                geoms=translate_geom(geoms, geom_index, delta))
+        state = trace_iteration(s, options, init_render_state(s),
+                                differentiable=True)
+        return jnp.mean(jnp.stack(list(state.accum)))
+
+    return boundary + jax.grad(j_interior)(zero)

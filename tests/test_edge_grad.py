@@ -1,0 +1,191 @@
+"""Edge-sampled geometry gradients (render/edge_grad.py) vs oracles.
+
+The renderer's AD gradient w.r.t. geometry is zero a.e. (path contributions
+are products of albedos and emittance — piecewise constant in positions),
+so d(mean image)/d(translation) is validated against two independent
+oracles:
+
+  1. a semi-analytic area oracle: J = L_out + (L_in - L_out) * A/N_px for a
+     black sphere in front of a uniform emissive wall, with the projected
+     silhouette area A computed by the shoelace formula and differentiated
+     by central differences (no Monte Carlo anywhere);
+  2. rendered finite differences of the actual AA-jittered estimator.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ai_path_tracer_denoiser_tpu.config import RenderOptions
+from ai_path_tracer_denoiser_tpu.ops.vec3 import Vec3
+from ai_path_tracer_denoiser_tpu.render import render
+from ai_path_tracer_denoiser_tpu.render.edge_grad import (
+    project_to_pixels, rays_through_pixels, silhouette_points_sphere,
+    trace_radiance, translate_geom, translation_gradient)
+from ai_path_tracer_denoiser_tpu.render.wavefront import (
+    generate_camera_rays_v)
+from ai_path_tracer_denoiser_tpu.scene import parse_scene_text
+
+SCENE_TEXT = """
+// emissive white wall
+MATERIAL 0
+RGB         1 1 1
+SPECEX      0
+SPECRGB     0 0 0
+REFL        0
+REFR        0
+REFRIOR     0
+EMITTANCE   2
+
+// black diffuse sphere
+MATERIAL 1
+RGB         0 0 0
+SPECEX      0
+SPECRGB     0 0 0
+REFL        0
+REFR        0
+REFRIOR     0
+EMITTANCE   0
+
+CAMERA
+RES         128 128
+FOVY        45
+ITERATIONS  8
+DEPTH       3
+FILE        edge_test
+EYE         0 0 6
+LOOKAT      0 0 0
+UP          0 1 0
+
+// wall behind the sphere, covering the whole frame
+OBJECT 0
+cube
+material 0
+TRANS       0 0 -6
+ROTAT       0 0 0
+SCALE       60 60 0.2
+
+// off-axis sphere (world radius 1) so x/y translations change the
+// projected area too (perspective ellipse)
+OBJECT 1
+sphere
+material 1
+TRANS       1.2 0.4 0
+ROTAT       0 0 0
+SCALE       2 2 2
+"""
+
+OPTS = RenderOptions(antialias=False)
+SPHERE = 1
+
+
+def _scene():
+    return parse_scene_text(SCENE_TEXT, base_dir=".")
+
+
+def test_projection_roundtrip():
+    """project_to_pixels inverts the ray-gen pixel mapping exactly."""
+    scene = _scene()
+    cam = scene.camera
+    w, _ = cam.resolution
+    ids = jnp.asarray([0, 5, 1000, 128 * 64 + 17, 128 * 128 - 1], jnp.uint32)
+    o, d = generate_camera_rays_v(cam, jnp.int32(1), OPTS, pixel_ids=ids)
+    pts = jnp.stack([o.x + 3.7 * d.x, o.y + 3.7 * d.y, o.z + 3.7 * d.z], -1)
+    uv = project_to_pixels(pts, cam)
+    np.testing.assert_allclose(np.asarray(uv[:, 0]), np.asarray(ids % w),
+                               atol=5e-3)
+    np.testing.assert_allclose(np.asarray(uv[:, 1]), np.asarray(ids // w),
+                               atol=5e-3)
+
+
+def test_silhouette_points_are_tangent():
+    scene = _scene()
+    center = scene.geoms.translation[SPHERE]
+    cam_pos = jnp.asarray(scene.camera.position)
+    phis = jnp.linspace(0, 2 * jnp.pi, 64, endpoint=False)
+    x = silhouette_points_sphere(center, 1.0, cam_pos, phis)
+    r = jnp.linalg.norm(x - center[None], axis=-1)
+    np.testing.assert_allclose(np.asarray(r), 1.0, atol=1e-5)
+    tangency = jnp.einsum("nk,nk->n", x - center[None], x - cam_pos[None])
+    np.testing.assert_allclose(np.asarray(tangency), 0.0, atol=1e-4)
+
+
+def test_inside_outside_radiance():
+    """Rays eps inside the silhouette hit the black sphere (L=0); rays eps
+    outside hit the emissive wall (L=2)."""
+    scene = _scene()
+    cam = scene.camera
+    center = scene.geoms.translation[SPHERE]
+    phis = jnp.linspace(0, 2 * jnp.pi, 32, endpoint=False)
+    x = silhouette_points_sphere(center, 1.0, jnp.asarray(cam.position), phis)
+    uv = project_to_pixels(x, cam)
+    ctr = jnp.mean(uv, axis=0, keepdims=True)
+    n = (uv - ctr) / jnp.linalg.norm(uv - ctr, axis=-1, keepdims=True)
+    for sgn, expect in ((-1.0, 0.0), (+1.0, 2.0)):
+        o, d = rays_through_pixels(cam, uv + sgn * 1.0 * n)
+        col = trace_radiance(scene, OPTS, o, d, jnp.int32(1))
+        np.testing.assert_allclose(np.asarray(col.x), expect, atol=1e-5)
+
+
+def _shoelace_area_oracle(scene, delta_axis, eps=2e-3, n=8192):
+    """Central-difference d(projected silhouette area)/d(translation)."""
+    cam = scene.camera
+    cam_pos = jnp.asarray(cam.position)
+    phis = jnp.linspace(0, 2 * jnp.pi, n, endpoint=False)
+
+    def area(delta):
+        c = scene.geoms.translation[SPHERE] + delta
+        x = silhouette_points_sphere(c, 1.0, cam_pos, phis)
+        uv = np.asarray(project_to_pixels(x, cam), np.float64)
+        x0, y0 = uv[:, 0], uv[:, 1]
+        x1, y1 = np.roll(x0, -1), np.roll(y0, -1)
+        return abs(np.sum(x0 * y1 - x1 * y0)) / 2.0
+
+    d = np.zeros(3)
+    d[delta_axis] = eps
+    return (area(jnp.asarray(d)) - area(jnp.asarray(-d))) / (2 * eps)
+
+
+def test_translation_gradient_matches_area_oracle():
+    """Boundary estimator == (L_in - L_out)/N_px * dA/dtheta, all 3 axes."""
+    scene = _scene()
+    w, h = scene.camera.resolution
+    # deterministic radiances here (black sphere / emissive wall), so a
+    # handful of paths per edge sample suffices
+    g = np.asarray(translation_gradient(scene, OPTS, SPHERE,
+                                        n_edge=512, spp=2, eps_px=0.75))
+    l_in, l_out = 0.0, 2.0
+    for axis in range(3):
+        da = _shoelace_area_oracle(scene, axis)
+        expect = (l_in - l_out) * da / (w * h)
+        np.testing.assert_allclose(
+            g[axis], expect, rtol=0.04, atol=2e-6,
+            err_msg=f"axis {axis}: estimator {g[axis]} vs oracle {expect}")
+    # sanity: moving the (off-axis, x>0) sphere further out or closer both
+    # change coverage; the z component must dominate and be negative
+    # (toward the camera -> bigger silhouette -> darker image)
+    assert g[2] < 0
+
+
+def test_translation_gradient_matches_rendered_fd():
+    """End-to-end: the estimator matches finite differences of the actual
+    AA-jittered rendered mean image (the expectation the boundary term
+    differentiates)."""
+    scene = _scene()
+    opts = RenderOptions(antialias=True)
+    w, h = scene.camera.resolution
+    g = np.asarray(translation_gradient(scene, opts, SPHERE,
+                                        n_edge=512, spp=2, eps_px=0.75))
+
+    def j(dz):
+        geoms = translate_geom(scene.geoms, SPHERE,
+                               jnp.asarray([0.0, 0.0, dz]))
+        s = dataclasses.replace(scene, geoms=geoms)
+        img, _, _ = render(s, opts, num_iterations=192)
+        return float(jnp.mean(img))
+
+    dz = 0.15
+    fd = (j(dz) - j(-dz)) / (2 * dz)
+    np.testing.assert_allclose(g[2], fd, rtol=0.08,
+                               err_msg=f"estimator {g[2]} vs rendered FD {fd}")
