@@ -131,7 +131,8 @@ def silhouette_points_sphere(center: jnp.ndarray, radius, cam_pos: jnp.ndarray,
     return cc[None, :] + rs * circ
 
 
-def project_to_pixels(x: jnp.ndarray, camera: Camera) -> jnp.ndarray:
+def project_to_pixels(x: jnp.ndarray, camera: Camera,
+                      position: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """World points (N,3) -> continuous pixel coords (N,2), inverting the
     ray-gen mapping dir = view - right*plx*(px - w/2) - up*ply*(py - h/2)
     (generate_camera_rays_v; pathtrace.cu:168-173).
@@ -139,9 +140,10 @@ def project_to_pixels(x: jnp.ndarray, camera: Camera) -> jnp.ndarray:
     Solves q = k*view - kX*right - kY*up exactly, so the scene-file quirk
     of an ``up`` that is not orthogonalized against ``view``
     (derive_camera / scene.cpp:143-152) is handled correctly.
+    ``position`` overrides the camera origin (differentiable camera moves).
     """
     w, h = camera.resolution
-    pos = jnp.asarray(camera.position)
+    pos = jnp.asarray(camera.position) if position is None else position
     basis = jnp.stack([jnp.asarray(camera.view), jnp.asarray(camera.right),
                        jnp.asarray(camera.up)], axis=1)        # columns
     q = x - pos[None, :]
@@ -183,6 +185,50 @@ def sphere_world_radius(geoms: Geoms, index: int) -> float:
 # The estimator
 # ---------------------------------------------------------------------------
 
+def _silhouette_boundary_term(scene: Scene, options: RenderOptions,
+                              uv_fn, n_edge: int, spp: int, eps_px: float,
+                              lane_salt: int = 0) -> jnp.ndarray:
+    """Edge integral (1/N_px) * oint (L_in - L_out)(v . n_out) ds for one
+    closed silhouette curve.
+
+    ``uv_fn(delta, phis)`` maps a (3,) parameter offset and curve
+    parameters to image-space points (N, 2); the curve at delta=0 is the
+    silhouette, and d(uv)/d(delta) is the edge velocity.
+    """
+    cam = scene.camera
+    w, h = cam.resolution
+    phis = (jnp.arange(n_edge) + 0.5) * (2.0 * jnp.pi / n_edge)
+    zero = jnp.zeros((3,))
+
+    uv = uv_fn(zero, phis)                                   # (N, 2)
+    vel = jax.jacfwd(lambda d: uv_fn(d, phis))(zero)         # (N, 2, 3)
+    tang = jax.vmap(jax.jacfwd(lambda p: uv_fn(zero, p[None])[0]))(phis)
+    ds = jnp.linalg.norm(tang, axis=-1)                      # |du/dphi|
+    # outward normal: perpendicular of the tangent, oriented away from the
+    # projected-silhouette centroid
+    n_img = jnp.stack([tang[:, 1], -tang[:, 0]], axis=-1)
+    n_img = n_img / jnp.maximum(jnp.linalg.norm(n_img, axis=-1,
+                                                keepdims=True), 1e-12)
+    outward = jnp.sum((uv - jnp.mean(uv, axis=0, keepdims=True)) * n_img,
+                      axis=-1)
+    n_img = jnp.where(outward[:, None] < 0, -n_img, n_img)
+
+    o_in, d_in = rays_through_pixels(cam, uv - eps_px * n_img)
+    o_out, d_out = rays_through_pixels(cam, uv + eps_px * n_img)
+    l_in = mean_radiance(scene, options, o_in, d_in, spp,
+                         lane_offset=lane_salt)
+    l_out = mean_radiance(scene, options, o_out, d_out, spp,
+                          lane_offset=lane_salt + (1 << 20))
+    ldiff = (l_in.x + l_in.y + l_in.z - l_out.x - l_out.y - l_out.z) / 3.0
+
+    # samples projecting outside the frame contribute nothing to J
+    inside = ((uv[:, 0] >= 0) & (uv[:, 0] <= w)
+              & (uv[:, 1] >= 0) & (uv[:, 1] <= h))
+    weight = jnp.where(inside, ldiff * ds, 0.0)              # (N,)
+    vn = jnp.einsum("nkd,nk->nd", vel, n_img)                # (N, 3)
+    return (2.0 * jnp.pi / n_edge) * (weight[:, None] * vn).sum(0) / (w * h)
+
+
 def translation_gradient(scene: Scene, options: RenderOptions,
                          geom_index: int, *,
                          n_edge: int = 512, spp: int = 128,
@@ -196,49 +242,17 @@ def translation_gradient(scene: Scene, options: RenderOptions,
     edge), and integrates (L_in - L_out)(v . n) ds in image space.
     """
     cam = scene.camera
-    w, h = cam.resolution
     geoms = scene.geoms
     radius = sphere_world_radius(geoms, geom_index)
     cam_pos = jnp.asarray(cam.position)
-    phis = (jnp.arange(n_edge) + 0.5) * (2.0 * jnp.pi / n_edge)
 
-    def uv_of_delta(delta):
+    def uv_fn(delta, phis):
         center = geoms.translation[geom_index] + delta
         x = silhouette_points_sphere(center, radius, cam_pos, phis)
         return project_to_pixels(x, cam)
 
-    zero = jnp.zeros((3,))
-    uv = uv_of_delta(zero)                                   # (N, 2)
-    vel = jax.jacfwd(uv_of_delta)(zero)                      # (N, 2, 3)
-    tang = jax.vmap(jax.jacfwd(
-        lambda p: project_to_pixels(
-            silhouette_points_sphere(geoms.translation[geom_index], radius,
-                                     cam_pos, p[None]), cam)[0]))(phis)
-    ds = jnp.linalg.norm(tang, axis=-1)                      # |du/dphi|
-    # outward normal: perpendicular of the tangent, oriented away from the
-    # projected-silhouette centroid
-    n_img = jnp.stack([tang[:, 1], -tang[:, 0]], axis=-1)
-    n_img = n_img / jnp.maximum(jnp.linalg.norm(n_img, axis=-1,
-                                                keepdims=True), 1e-12)
-    outward = jnp.sum((uv - jnp.mean(uv, axis=0, keepdims=True)) * n_img,
-                      axis=-1)
-    n_img = jnp.where(outward[:, None] < 0, -n_img, n_img)
-
-    o_in, d_in = rays_through_pixels(cam, uv - eps_px * n_img)
-    o_out, d_out = rays_through_pixels(cam, uv + eps_px * n_img)
-    l_in = mean_radiance(scene, options, o_in, d_in, spp, lane_offset=0)
-    l_out = mean_radiance(scene, options, o_out, d_out, spp,
-                          lane_offset=1 << 20)
-    ldiff = (l_in.x + l_in.y + l_in.z - l_out.x - l_out.y - l_out.z) / 3.0
-
-    # samples projecting outside the frame contribute nothing to J
-    inside = ((uv[:, 0] >= 0) & (uv[:, 0] <= w)
-              & (uv[:, 1] >= 0) & (uv[:, 1] <= h))
-    weight = jnp.where(inside, ldiff * ds, 0.0)              # (N,)
-    vn = jnp.einsum("nkd,nk->nd", vel, n_img)                # (N, 3)
-    boundary = (2.0 * jnp.pi / n_edge) * (weight[:, None] * vn).sum(0)
-    boundary = boundary / (w * h)
-
+    boundary = _silhouette_boundary_term(scene, options, uv_fn,
+                                         n_edge, spp, eps_px)
     if not include_interior:
         return boundary
 
@@ -249,4 +263,43 @@ def translation_gradient(scene: Scene, options: RenderOptions,
                                 differentiable=True)
         return jnp.mean(jnp.stack(list(state.accum)))
 
-    return boundary + jax.grad(j_interior)(zero)
+    return boundary + jax.grad(j_interior)(jnp.zeros((3,)))
+
+
+def camera_translation_gradient(scene: Scene, options: RenderOptions, *,
+                                geom_indices: Optional[Tuple[int, ...]] = None,
+                                n_edge: int = 512, spp: int = 128,
+                                eps_px: float = 0.75) -> jnp.ndarray:
+    """d(mean image)/d(camera position) — a (3,) vector.
+
+    Every visibility silhouette moves when the camera moves; this sums the
+    boundary terms of the silhouettes of the given sphere geoms (default:
+    every uniform-scale sphere in the scene).  Scope caveat (documented):
+    box-edge silhouettes and material-boundary curves are NOT sampled —
+    exact only when those edges separate regions of equal radiance (as in
+    the validation scene); elsewhere this is the spheres' contribution.
+    """
+    import numpy as np
+    cam = scene.camera
+    geoms = scene.geoms
+    if geom_indices is None:
+        types = np.asarray(geoms.type)
+        scales = np.asarray(geoms.scale)
+        geom_indices = tuple(
+            int(i) for i in np.nonzero(types == 0)[0]
+            if float(np.ptp(scales[i])) < 1e-6)
+    base_pos = jnp.asarray(cam.position)
+    total = jnp.zeros((3,))
+    for k, gi in enumerate(geom_indices):
+        radius = sphere_world_radius(geoms, gi)
+        center = geoms.translation[gi]
+
+        def uv_fn(delta, phis, center=center, radius=radius):
+            pos = base_pos + delta
+            x = silhouette_points_sphere(center, radius, pos, phis)
+            return project_to_pixels(x, cam, position=pos)
+
+        total = total + _silhouette_boundary_term(
+            scene, options, uv_fn, n_edge, spp, eps_px,
+            lane_salt=k * (1 << 21))
+    return total

@@ -189,3 +189,41 @@ def test_translation_gradient_matches_rendered_fd():
     fd = (j(dz) - j(-dz)) / (2 * dz)
     np.testing.assert_allclose(g[2], fd, rtol=0.08,
                                err_msg=f"estimator {g[2]} vs rendered FD {fd}")
+
+
+def test_camera_translation_gradient():
+    """Camera-translation boundary term vs the shoelace area oracle, plus
+    the world/camera duality: with a uniform wall (no other moving edges),
+    moving the camera by delta equals moving the sphere by -delta."""
+    from ai_path_tracer_denoiser_tpu.render.edge_grad import (
+        camera_translation_gradient)
+    scene = _scene()
+    cam = scene.camera
+    w, h = cam.resolution
+    g_cam = np.asarray(camera_translation_gradient(scene, OPTS,
+                                                   n_edge=512, spp=2))
+
+    # oracle: FD of the projected silhouette area as the camera moves
+    phis = jnp.linspace(0, 2 * jnp.pi, 8192, endpoint=False)
+    center = scene.geoms.translation[SPHERE]
+
+    def area(delta):
+        pos = jnp.asarray(cam.position) + delta
+        x = silhouette_points_sphere(center, 1.0, pos, phis)
+        uv = np.asarray(project_to_pixels(x, cam, position=pos), np.float64)
+        x0, y0 = uv[:, 0], uv[:, 1]
+        x1, y1 = np.roll(x0, -1), np.roll(y0, -1)
+        return abs(np.sum(x0 * y1 - x1 * y0)) / 2.0
+
+    eps = 2e-3
+    for axis in range(3):
+        d = np.zeros(3)
+        d[axis] = eps
+        da = (area(jnp.asarray(d)) - area(jnp.asarray(-d))) / (2 * eps)
+        expect = (0.0 - 2.0) * da / (w * h)
+        np.testing.assert_allclose(g_cam[axis], expect, rtol=0.04, atol=2e-6,
+                                   err_msg=f"camera axis {axis}")
+
+    g_obj = np.asarray(translation_gradient(scene, OPTS, SPHERE, n_edge=512,
+                                            spp=2, include_interior=False))
+    np.testing.assert_allclose(g_cam, -g_obj, rtol=0.02, atol=2e-6)
