@@ -187,10 +187,94 @@ def apply_sequence_fast(folded: Dict, x_seq: jnp.ndarray,
 
 def prepare_inference(params: Dict, bn_state: Dict,
                       options: Optional[ModelOptions] = None,
-                      compute_dtype=jnp.bfloat16) -> Dict:
+                      compute_dtype=jnp.bfloat16,
+                      pad_multiple: int = 0) -> Dict:
     """Fold BN and pre-cast conv weights to the compute dtype (biases stay
-    f32 for the fused f32 epilogue). One-time cost at model load."""
+    f32 for the fused f32 epilogue). One-time cost at model load.
+    ``pad_multiple`` > 0 additionally zero-pads channel dims (see
+    ``pad_channels``)."""
     folded = fold_batchnorm(params, bn_state, options)
+    if pad_multiple:
+        folded = pad_channels(folded, pad_multiple)
     return jax.tree_util.tree_map_with_path(
         lambda path, a: a.astype(compute_dtype)
         if path[-1].key == "w" else a, folded)
+
+
+# ---------------------------------------------------------------------------
+# Channel padding (layout lever: round odd widths up for the MXU/VPU lanes)
+# ---------------------------------------------------------------------------
+
+def _pad_conv(conv, segments, in_total: int, out_p: int, out_keep: int):
+    """Re-pack a conv for padded channel layouts.
+
+    ``segments``: [(src_lo, src_hi, dst_lo), ...] placement of the original
+    input-channel rows inside the padded input; all other rows are zero.
+    Output channels grow to ``out_p`` (extra channels: w=0, b=0, so they
+    produce exact zeros through LReLU and contribute nothing downstream).
+    """
+    w = conv["w"]
+    k0, k1, _, c_out = w.shape
+    nw = jnp.zeros((k0, k1, in_total, out_p), w.dtype)
+    for lo, hi, dst in segments:
+        nw = nw.at[:, :, dst:dst + (hi - lo), :c_out].set(w[:, :, lo:hi, :])
+    nb = jnp.zeros((out_p,), conv["b"].dtype).at[:out_keep].set(
+        conv["b"][:out_keep])
+    return {"w": nw, "b": nb}
+
+
+def pad_channels(folded: Dict, multiple: int) -> Dict:
+    """Zero-pad every internal channel dim of a folded network up to a
+    multiple of ``multiple`` — numerically exact (padded lanes carry exact
+    zeros: zero weights + zero bias + LReLU(0)=0 + affine pads s=1, t=0).
+
+    The network input (10 channels) and output (3) keep their true widths.
+    Odd reference widths (43/57/76/101) map poorly onto the TPU's lane
+    tiling; this trades redundant MACs for aligned layouts — measure with
+    tools/profile_denoiser.py before shipping a given multiple.
+    """
+    def up(c):
+        return -(-c // multiple) * multiple
+
+    widths = [folded[f"enc{i}"]["conv1"]["w"].shape[-1] for i in range(1, 6)]
+    wp = [up(c) for c in widths]
+    out = {}
+    prev_p = folded["enc1"]["conv1"]["w"].shape[2]     # network input: 10
+    for i in range(1, 6):
+        p = folded[f"enc{i}"]
+        c, c_p = widths[i - 1], wp[i - 1]
+        aff = p["affine2"]
+        out[f"enc{i}"] = {
+            "conv1": _pad_conv(p["conv1"], [(0, p["conv1"]["w"].shape[2], 0)],
+                               prev_p, c_p, c),
+            "conv2": _pad_conv(p["conv2"], [(0, c, 0), (c, 2 * c, c_p)],
+                               2 * c_p, c_p, c),
+            "affine2": {
+                "s": jnp.ones((c_p,), aff["s"].dtype).at[:c].set(aff["s"]),
+                "t": jnp.zeros((c_p,), aff["t"].dtype).at[:c].set(aff["t"]),
+            },
+            "conv3": _pad_conv(p["conv3"], [(0, c, 0)], c_p, c_p, c),
+        }
+        prev_p = c_p
+    c, c_p = widths[4], wp[4]
+    p = folded["bottleneck"]
+    out["bottleneck"] = {
+        "conv1": _pad_conv(p["conv1"], [(0, c, 0)], c_p, c_p, c),
+        "conv2": _pad_conv(p["conv2"], [(0, c, 0), (c, 2 * c, c_p)],
+                           2 * c_p, c_p, c),
+        "conv3": _pad_conv(p["conv3"], [(0, c, 0)], c_p, c_p, c),
+    }
+    dec_in = widths[::-1]                       # 101, 76, 57, 43, 32
+    dec_in_p = wp[::-1]
+    dec_out = widths[:4][::-1] + [folded["dec1"]["conv2"]["w"].shape[-1]]
+    dec_out_p = wp[:4][::-1] + [dec_out[4]]     # final 3 stays exact
+    for j, i in enumerate(range(5, 0, -1)):
+        p = folded[f"dec{i}"]
+        ci, ci_p = dec_in[j], dec_in_p[j]
+        co, co_p = dec_out[j], dec_out_p[j]
+        out[f"dec{i}"] = {
+            "conv1": _pad_conv(p["conv1"], [(0, ci, 0), (ci, 2 * ci, ci_p)],
+                               2 * ci_p, co_p, co),
+            "conv2": _pad_conv(p["conv2"], [(0, co, 0)], co_p, co_p, co),
+        }
+    return out

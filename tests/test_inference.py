@@ -103,3 +103,54 @@ def test_prepare_inference_casts_weights_only():
     folded = prepare_inference(params, bn_state, OPTS)
     assert folded["enc1"]["conv1"]["w"].dtype == jnp.bfloat16
     assert folded["enc1"]["conv1"]["b"].dtype == jnp.float32
+
+
+def test_pad_channels_exact():
+    """Channel padding is numerically exact: padded lanes carry hard zeros."""
+    from ai_path_tracer_denoiser_tpu.models.inference import pad_channels
+    params, bn_state = _nontrivial_model(7)
+    folded = fold_batchnorm(params, bn_state, OPTS)
+    x = jax.random.normal(jax.random.PRNGKey(21), (1, 64, 64, 10))
+    hidden = init_hidden(1, 64, 64, OPTS)
+    y_ref, hid_ref = apply_frame_fast(folded, x, hidden, OPTS,
+                                      compute_dtype=jnp.float32)
+    for mult in (8, 32):
+        padded = pad_channels(folded, mult)
+        wp = tuple(padded[f"enc{i}"]["conv1"]["w"].shape[-1]
+                   for i in range(1, 6))
+        assert all(c % mult == 0 for c in wp), wp
+        opts_p = dataclasses.replace(OPTS, widths=wp)
+        hid_p = init_hidden(1, 64, 64, opts_p)
+        y, hid_out = apply_frame_fast(padded, x, hid_p, opts_p,
+                                      compute_dtype=jnp.float32)
+        assert y.shape == y_ref.shape
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   rtol=2e-5, atol=2e-5)
+        # real lanes of the padded hidden match; padded lanes are zero
+        for name in hid_ref:
+            c = hid_ref[name].shape[-1]
+            np.testing.assert_allclose(np.asarray(hid_out[name][..., :c]),
+                                       np.asarray(hid_ref[name]),
+                                       rtol=2e-5, atol=2e-5)
+            assert np.all(np.asarray(hid_out[name][..., c:]) == 0.0)
+
+
+def test_pad_channels_with_carried_hidden():
+    """Second frame (non-zero hidden) also exact under padding."""
+    from ai_path_tracer_denoiser_tpu.models.inference import pad_channels
+    params, bn_state = _nontrivial_model(8)
+    folded = fold_batchnorm(params, bn_state, OPTS)
+    padded = pad_channels(folded, 16)
+    wp = tuple(padded[f"enc{i}"]["conv1"]["w"].shape[-1] for i in range(1, 6))
+    opts_p = dataclasses.replace(OPTS, widths=wp)
+    x = jax.random.uniform(jax.random.PRNGKey(22), (1, 32, 32, 10))
+    _, hid = apply_frame_fast(folded, x, init_hidden(1, 32, 32, OPTS), OPTS,
+                              compute_dtype=jnp.float32)
+    _, hid_p = apply_frame_fast(padded, x, init_hidden(1, 32, 32, opts_p),
+                                opts_p, compute_dtype=jnp.float32)
+    y2, _ = apply_frame_fast(folded, x * 0.7, hid, OPTS,
+                             compute_dtype=jnp.float32)
+    y2p, _ = apply_frame_fast(padded, x * 0.7, hid_p, opts_p,
+                              compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(y2p), np.asarray(y2),
+                               rtol=2e-5, atol=2e-5)

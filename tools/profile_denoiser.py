@@ -47,6 +47,8 @@ def main():
     ap.add_argument("--trace", default=None,
                     help="dump a jax.profiler trace of the folded variant")
     ap.add_argument("--skip-train-graph", action="store_true")
+    ap.add_argument("--pad", type=int, nargs="*", default=[],
+                    help="also time channel-padded variants (multiples)")
     args = ap.parse_args()
 
     import jax
@@ -114,6 +116,18 @@ def main():
                                      compute_dtype=jnp.float32)
         med, lo, hi = time_fn(fn32, folded32, x, hidden_f32)
         results[f"{name}/folded-f32"] = med
+
+        import dataclasses as _dc
+        for mult in args.pad:
+            fp = prepare_inference(params, bn_state, opts, pad_multiple=mult)
+            wp = tuple(fp[f"enc{i}"]["conv1"]["w"].shape[-1]
+                       for i in range(1, 6))
+            opts_p = _dc.replace(opts, widths=wp)
+            hid_p = init_hidden(1, h, w, opts_p, dtype=jnp.bfloat16)
+            fnp = jax.jit(lambda f, xx, hd, o=opts_p: apply_frame_fast(
+                f, xx, hd, o))
+            med, lo, hi = time_fn(fnp, fp, x, hid_p)
+            results[f"{name}/folded-pad{mult}"] = med
 
         gf = flops(opts.widths) / 1e9
         for k in list(results):
