@@ -44,6 +44,8 @@ class SequenceDataset:
         self.crop = crop
         self.crop_size = crop_size
         self.rng = np.random.default_rng(seed)
+        import threading
+        self._lock = threading.Lock()
         # Per-(scene, mov, noise) max frame, built from the filenames.  The
         # reference clamps windows with `start = m[...] - 6` (dataloader.py
         # :48-49) — a *frame number* used as a global file *position*, which
@@ -69,35 +71,71 @@ class SequenceDataset:
         # clamp the window at the end of this (scene, mov, noise) sequence
         start_frame = min(frame, max(0, last - (self.T - 1)))
         start = index - (frame - start_frame)
+        # Crop offsets are drawn BEFORE loading and the files are memory-
+        # mapped, so only the cropped window is ever read/copied — a full
+        # 512^2 10-channel frame is 10.5 MB but a 256^2 crop is 2.6 MB, and
+        # the training loader was host-IO bound without this.
+        sl = (slice(None), slice(None))
+        if self.crop:
+            probe = np.load(os.path.join(self.input_dir, self.inputs[start]),
+                            mmap_mode="r")
+            h, w = probe.shape[:2]
+            with self._lock:     # Generator is not thread-safe (prefetch pool)
+                cy = int(self.rng.integers(h // self.crop_size)) * self.crop_size
+                cx = int(self.rng.integers(w // self.crop_size)) * self.crop_size
+            sl = (slice(cy, cy + self.crop_size), slice(cx, cx + self.crop_size))
         xs, ys = [], []
         for i in range(start, start + self.T):
-            xs.append(np.load(os.path.join(self.input_dir, self.inputs[i])))
-            ys.append(np.load(os.path.join(self.gt_dir, self.outputs[i])))
-        x = np.stack(xs).astype(np.float32)   # (T, H, W, 10)
-        y = np.stack(ys).astype(np.float32)   # (T, H, W, 3)
-        if self.crop:
-            h, w = x.shape[1:3]
-            cy = int(self.rng.integers(h // self.crop_size)) * self.crop_size
-            cx = int(self.rng.integers(w // self.crop_size)) * self.crop_size
-            x = x[:, cy:cy + self.crop_size, cx:cx + self.crop_size]
-            y = y[:, cy:cy + self.crop_size, cx:cx + self.crop_size]
+            mx = np.load(os.path.join(self.input_dir, self.inputs[i]),
+                         mmap_mode="r")
+            my = np.load(os.path.join(self.gt_dir, self.outputs[i]),
+                         mmap_mode="r")
+            xs.append(np.asarray(mx[sl], np.float32))
+            ys.append(np.asarray(my[sl], np.float32))
+        x = np.stack(xs)                      # (T, H, W, 10)
+        y = np.stack(ys)                      # (T, H, W, 3)
         return x, y
 
 
 def sequence_batches(dataset: SequenceDataset, batch_size: int = 1,
                      shuffle: bool = True, seed: int = 0,
-                     drop_last: bool = True) -> Iterator:
-    """Batch iterator -> (inputs (T,N,H,W,10), targets (T,N,H,W,3))."""
+                     drop_last: bool = True, prefetch: int = 2,
+                     workers: int = 4) -> Iterator:
+    """Batch iterator -> (inputs (T,N,H,W,10), targets (T,N,H,W,3)).
+
+    Batches are assembled by a small thread pool and ``prefetch`` batches
+    are kept in flight, overlapping host npy loads with device compute
+    (np.load/memcpy release the GIL).  ``workers=0`` loads synchronously.
+    """
     order = np.arange(len(dataset))
     if shuffle:
         np.random.default_rng(seed).shuffle(order)
-    batch_x, batch_y = [], []
-    for idx in order:
-        x, y = dataset[int(idx)]
-        batch_x.append(x)
-        batch_y.append(y)
-        if len(batch_x) == batch_size:
-            yield (np.stack(batch_x, axis=1), np.stack(batch_y, axis=1))
-            batch_x, batch_y = [], []
-    if batch_x and not drop_last:
-        yield (np.stack(batch_x, axis=1), np.stack(batch_y, axis=1))
+    n_batches = len(order) // batch_size if drop_last else \
+        -(-len(order) // batch_size)
+    chunks = [order[i * batch_size:(i + 1) * batch_size]
+              for i in range(n_batches)]
+
+    def assemble(idxs):
+        pairs = [dataset[int(i)] for i in idxs]
+        return (np.stack([p[0] for p in pairs], axis=1),
+                np.stack([p[1] for p in pairs], axis=1))
+
+    if workers <= 0:
+        for idxs in chunks:
+            yield assemble(idxs)
+        return
+
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        pending = []
+        it = iter(chunks)
+        for idxs in it:
+            pending.append(pool.submit(assemble, idxs))
+            if len(pending) > prefetch:
+                break
+        while pending:
+            fut = pending.pop(0)
+            nxt = next(it, None)
+            if nxt is not None:
+                pending.append(pool.submit(assemble, nxt))
+            yield fut.result()

@@ -96,17 +96,19 @@ def fit(state: TrainState, data_iter_fn: Callable[[], Iterable],
         train_options: TrainOptions = TrainOptions(),
         epochs: Optional[int] = None,
         logger=None, checkpoint_fn=None, log_every: int = 5,
-        model_options: Optional[ModelOptions] = None):
+        model_options: Optional[ModelOptions] = None,
+        start_epoch: int = 0):
     """Epoch driver (train.py:54-112): StepLR per epoch, periodic checkpoints.
 
     ``data_iter_fn()`` must yield (inputs (T,N,H,W,10), targets (T,N,H,W,3))
-    numpy/jnp batches for one epoch.
+    numpy/jnp batches for one epoch.  ``start_epoch`` resumes the StepLR
+    schedule mid-run (epochs already covered by a loaded checkpoint).
     """
     epochs = epochs if epochs is not None else train_options.epochs
     jit_step = jax.jit(lambda s, x, y: train_step(s, x, y, train_options,
                                                   model_options=model_options))
     overall_step = int(state.step)
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         lr = step_lr(train_options.lr, epoch, train_options.lr_step_epochs,
                      train_options.lr_gamma)
         state = dataclasses.replace(state, lr=jnp.asarray(lr, jnp.float32))

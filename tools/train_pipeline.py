@@ -102,15 +102,17 @@ def stage_train(args):
     dataset = SequenceDataset(os.path.join(data, "input"),
                               os.path.join(data, "gt"),
                               crop=True, crop_size=args.crop)
+    steps_per_epoch = max(1, len(dataset) // args.batch)
+    start_epoch = int(state.step) // steps_per_epoch
     print(f"[train] {len(dataset)} windows, batch {args.batch}, "
-          f"epochs {args.epochs}, widths {mopt.widths}")
+          f"epochs {start_epoch}..{args.epochs}, widths {mopt.widths}")
     logger = MetricsLogger(os.path.join(args.out, "logs"))
     state = fit(state,
                 lambda: sequence_batches(dataset, batch_size=args.batch,
                                          seed=int(state.step)),
                 topt, epochs=args.epochs, logger=logger,
                 checkpoint_fn=lambda s, e: save_checkpoint(model_dir, s, e),
-                model_options=mopt)
+                model_options=mopt, start_epoch=start_epoch)
     # export deployable artifact
     from ai_path_tracer_denoiser_tpu.models.export import save_model
     path = os.path.join(REPO, "artifacts", args.artifact)
