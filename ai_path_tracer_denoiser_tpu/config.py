@@ -62,6 +62,16 @@ class RenderOptions:
     # Max 1-spp iterations folded into one device dispatch (None = auto:
     # 64, or 4 for >512-face meshes whose frames run seconds each).
     iters_per_dispatch: Optional[int] = None
+    # Megakernel scene specialization:
+    # "baked": transforms/materials fold into the kernel as constants —
+    #   fastest steady-state, but each distinct scene compiles its own
+    #   kernel (~minutes on a cold cache).
+    # "operand": only the geom *layout* (count + type sequence + material
+    #   count) specializes the kernel; transforms and material values
+    #   arrive as SMEM scalars, so scene streams sharing a layout
+    #   (randomizer variants for datagen, interactive material/transform
+    #   edits) reuse ONE compiled kernel.
+    pallas_geometry: str = "baked"
 
     # --- RNG ---
     # "parity": utilhash-seeded minstd LCG reproducing the reference's
@@ -81,6 +91,8 @@ class RenderOptions:
         assert self.rng in ("parity", "fast"), self.rng
         assert self.accum_dtype in ("float32", "bfloat16"), self.accum_dtype
         assert self.backend in ("auto", "xla", "pallas"), self.backend
+        assert self.pallas_geometry in ("baked", "operand"), \
+            self.pallas_geometry
         # Mirrors the asserts at pathtrace.cu:435-436.
         assert not (self.cache_first_bounce and self.antialias), (
             "first-bounce cache is incompatible with antialiasing")

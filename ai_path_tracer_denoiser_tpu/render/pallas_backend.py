@@ -79,6 +79,108 @@ def pallas_eligible(scene: Scene, options: RenderOptions,
             and w * h < 2 ** 23)
 
 
+class _Mat4Ref:
+    """Adapter presenting 16 consecutive SMEM scalars as ``m[i, j]``.
+
+    xform_point/xform_dir (ops/vec3.py) consume matrices through plain
+    ``m[i, j]`` indexing, so the same intersection code runs on numpy
+    constants (baked mode) and on SMEM scalar reads (operand mode) — the
+    only difference is whether the coefficients are vector immediates or
+    runtime sregs.
+    """
+
+    __slots__ = ("ref", "base")
+
+    def __init__(self, ref, base: int):
+        self.ref = ref
+        self.base = base
+
+    def __getitem__(self, ij):
+        i, j = ij
+        return self.ref[0, self.base + 4 * i + j]
+
+
+# f32 scalars per geom in the operand row: 3 packed mat4s.
+_GEOM_ROW = 48
+# f32 scalars per material in the operand row (same field order as
+# _gather_material_baked): color, specular_color, has_reflective,
+# has_refractive, index_of_refraction, emittance.
+_MAT_ROW = 10
+
+
+def _intersect_geoms_operand(geo_ref, gid_ref, types, o: Vec3, d: Vec3):
+    """_intersect_geoms_baked with runtime geometry from SMEM.
+
+    The geom *layout* (count and type sequence) stays static — the loop
+    unrolls per geom and specializes box vs sphere exactly like the baked
+    kernel — but transforms and material ids are SMEM scalars, so every
+    scene sharing the layout reuses one compiled kernel (scene streaming:
+    datagen over randomizer variants, interactive material/transform
+    edits).  Semantics identical to computeIntersections
+    (pathtrace.cu:230-254): running min, first-geom-wins ties.
+    """
+    t_best = jnp.full_like(o.x, jnp.inf)
+    p_best = Vec3.full_like(o.x, 0.0)
+    n_best = Vec3.full_like(o.x, 0.0)
+    mat_best = jnp.full(o.x.shape, -1, jnp.int32)
+    for g, ty in enumerate(types):
+        base = g * _GEOM_ROW
+        tr = _Mat4Ref(geo_ref, base)
+        inv = _Mat4Ref(geo_ref, base + 16)
+        if ty == CUBE:
+            t, p, n, _ = box_intersect_v(tr, inv, o, d)
+        else:
+            invt = _Mat4Ref(geo_ref, base + 32)
+            t, p, n, _ = sphere_intersect_v(tr, inv, invt, o, d)
+        t = jnp.where(t > 0.0, t, jnp.inf)
+        better = t < t_best
+        t_best = jnp.where(better, t, t_best)
+        p_best = vwhere(better, p, p_best)
+        n_best = vwhere(better, n, n_best)
+        mat_best = jnp.where(better, gid_ref[0, g], mat_best)
+    return t_best, p_best, n_best, mat_best
+
+
+def _gather_material_operand(mat_ref, n_mats, mat_id):
+    """_gather_material_baked with the material table in SMEM scalars."""
+    def mat_planes(m):
+        b = m * _MAT_ROW
+        return dict(
+            color=(mat_ref[0, b + 0], mat_ref[0, b + 1], mat_ref[0, b + 2]),
+            specular_color=(mat_ref[0, b + 3], mat_ref[0, b + 4],
+                            mat_ref[0, b + 5]),
+            has_reflective=mat_ref[0, b + 6],
+            has_refractive=mat_ref[0, b + 7],
+            index_of_refraction=mat_ref[0, b + 8],
+            emittance=mat_ref[0, b + 9],
+        )
+
+    like = mat_id
+    acc = mat_planes(0)
+    ones = jnp.ones(like.shape, jnp.float32)
+    out = dict(
+        color=Vec3(ones * acc["color"][0], ones * acc["color"][1],
+                   ones * acc["color"][2]),
+        specular_color=Vec3(ones * acc["specular_color"][0],
+                            ones * acc["specular_color"][1],
+                            ones * acc["specular_color"][2]),
+        has_reflective=ones * acc["has_reflective"],
+        has_refractive=ones * acc["has_refractive"],
+        index_of_refraction=ones * acc["index_of_refraction"],
+        emittance=ones * acc["emittance"],
+    )
+    for m in range(1, n_mats):
+        pm = mat_planes(m)
+        sel = mat_id == m
+        out["color"] = vwhere(sel, Vec3(*pm["color"]), out["color"])
+        out["specular_color"] = vwhere(sel, Vec3(*pm["specular_color"]),
+                                       out["specular_color"])
+        for key in ("has_reflective", "has_refractive",
+                    "index_of_refraction", "emittance"):
+            out[key] = jnp.where(sel, pm[key], out[key])
+    return out
+
+
 def _intersect_geoms_baked(transforms, inverses, inv_transposes, types,
                            material_ids, o: Vec3, d: Vec3):
     """intersect_geoms_v (ops/intersect.py) with numpy-constant matrices.
@@ -193,8 +295,16 @@ def _gather_material_baked(mats, mat_id):
     return out
 
 
-def _build_kernel(scene: Scene, options: RenderOptions, n_pixels: int):
-    """Close the kernel body over the baked scene + static options."""
+def _build_kernel(scene: Scene, options: RenderOptions, n_pixels: int,
+                  bake_geometry: bool = True):
+    """Close the kernel body over the scene + static options.
+
+    ``bake_geometry=True`` folds transforms/materials into the kernel as
+    numpy constants (fastest single-scene path; recompiles per scene).
+    ``False`` keeps only the geom *layout* static (count + type sequence +
+    material count) and reads transforms/material values from SMEM rows at
+    runtime — one compiled kernel serves every scene with that layout.
+    """
     w, h = scene.camera.resolution
     depth_max = int(scene.trace_depth)
     geoms = scene.geoms
@@ -203,6 +313,7 @@ def _build_kernel(scene: Scene, options: RenderOptions, n_pixels: int):
     inv_transposes = np.asarray(geoms.inv_transpose, np.float32)
     types = tuple(int(t) for t in np.asarray(geoms.type))
     material_ids = tuple(int(m) for m in np.asarray(geoms.material_id))
+    n_mats = int(scene.materials.count)
     mats = jax.tree_util.tree_map(lambda a: np.asarray(a), scene.materials)
     if scene.mesh.num_faces > 0:
         nf = scene.mesh.num_faces
@@ -214,51 +325,66 @@ def _build_kernel(scene: Scene, options: RenderOptions, n_pixels: int):
     else:
         mesh_np = None
 
-    def intersect(o, d):
-        t, p, n, mid = _intersect_geoms_baked(
-            transforms, inverses, inv_transposes, types, material_ids, o, d)
-        if mesh_np is not None:
-            t, p, n, mid = _intersect_mesh_baked(mesh_np, options, o, d,
-                                                 t, p, n, mid)
-        miss = ~jnp.isfinite(t)
-        return (jnp.where(miss, -1.0, t), p, n.normalized_safe(),
-                jnp.where(miss, -1, mid))
+    def make_intersect(geo_ref, gid_ref):
+        def intersect(o, d):
+            if bake_geometry:
+                t, p, n, mid = _intersect_geoms_baked(
+                    transforms, inverses, inv_transposes, types,
+                    material_ids, o, d)
+            else:
+                t, p, n, mid = _intersect_geoms_operand(
+                    geo_ref, gid_ref, types, o, d)
+            if mesh_np is not None:
+                t, p, n, mid = _intersect_mesh_baked(mesh_np, options, o, d,
+                                                     t, p, n, mid)
+            miss = ~jnp.isfinite(t)
+            return (jnp.where(miss, -1.0, t), p, n.normalized_safe(),
+                    jnp.where(miss, -1, mid))
+        return intersect
 
     inv_w = np.float32(1.0 / w)
     half_w = np.float32(w * 0.5)
     half_h = np.float32(h * 0.5)
 
-    def shade(iteration, pid, t, point, normal, mat_id, ray_d, color,
-              remaining):
-        """shadeMaterial (pathtrace.cu:333-390) on kernel tiles —
-        mirrors wavefront._shade with the baked material table."""
-        u = draw_uniforms(iteration, pid, remaining, 2, options.rng)
-        alive = remaining != 0
-        hit = t > 0.0
-        mat = _gather_material_baked(mats, mat_id)
-        emissive = mat["emittance"] > 0.0
+    def make_shade(mat_ref):
+        def shade(iteration, pid, t, point, normal, mat_id, ray_d, color,
+                  remaining):
+            """shadeMaterial (pathtrace.cu:333-390) on kernel tiles —
+            mirrors wavefront._shade with the baked/SMEM material table."""
+            u = draw_uniforms(iteration, pid, remaining, 2, options.rng)
+            alive = remaining != 0
+            hit = t > 0.0
+            if bake_geometry:
+                mat = _gather_material_baked(mats, mat_id)
+            else:
+                mat = _gather_material_operand(mat_ref, n_mats, mat_id)
+            emissive = mat["emittance"] > 0.0
 
-        sc_dir, sc_origin, sc_mult = scatter_ray_v(
-            ray_d, point, normal, mat, u[0], u[1],
-            fresnels=options.fresnels, dielectric=options.dielectric,
-            mesh_normal_view=options.mesh_normal_view)
+            sc_dir, sc_origin, sc_mult = scatter_ray_v(
+                ray_d, point, normal, mat, u[0], u[1],
+                fresnels=options.fresnels, dielectric=options.dielectric,
+                mesh_normal_view=options.mesh_normal_view)
 
-        emit_color = color * mat["color"] * mat["emittance"]
-        scatter_color = color * sc_mult
-        upd = alive & hit
-        new_color = vwhere(upd & emissive, emit_color,
-                           vwhere(upd, scatter_color, color))
-        new_color = vwhere(alive & ~hit, Vec3.full_like(new_color.x, 0.0),
-                           new_color)
-        new_remaining = jnp.where(alive & hit & ~emissive, remaining - 1,
-                                  jnp.where(alive, 0, remaining))
-        scatter_lanes = upd & ~emissive
-        new_ray_d = vwhere(scatter_lanes, sc_dir, ray_d)
-        new_ray_o = vwhere(scatter_lanes, sc_origin,
-                           Vec3.full_like(sc_origin.x, 0.0))
-        return new_ray_o, new_ray_d, new_color, new_remaining
+            emit_color = color * mat["color"] * mat["emittance"]
+            scatter_color = color * sc_mult
+            upd = alive & hit
+            new_color = vwhere(upd & emissive, emit_color,
+                               vwhere(upd, scatter_color, color))
+            new_color = vwhere(alive & ~hit, Vec3.full_like(new_color.x, 0.0),
+                               new_color)
+            new_remaining = jnp.where(alive & hit & ~emissive, remaining - 1,
+                                      jnp.where(alive, 0, remaining))
+            scatter_lanes = upd & ~emissive
+            new_ray_d = vwhere(scatter_lanes, sc_dir, ray_d)
+            new_ray_o = vwhere(scatter_lanes, sc_origin,
+                               Vec3.full_like(sc_origin.x, 0.0))
+            return new_ray_o, new_ray_d, new_color, new_remaining
+        return shade
 
-    def kernel(cam_ref, it_ref, acc_in, gb_in, acc_out, gb_out):
+    def kernel(cam_ref, it_ref, acc_in, gb_in, acc_out, gb_out,
+               geo_ref=None, gid_ref=None, mat_ref=None):
+        intersect = make_intersect(geo_ref, gid_ref)
+        shade = make_shade(mat_ref)
         tile = pl.program_id(0)
         row = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, _LANES), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, _LANES), 1)
@@ -344,7 +470,15 @@ def _build_kernel(scene: Scene, options: RenderOptions, n_pixels: int):
         for c in range(7):
             gb_out[c] = carry[3 + c]
 
-    return kernel
+    if bake_geometry:
+        return kernel
+
+    def kernel_operand(cam_ref, it_ref, geo_ref, gid_ref, mat_ref,
+                       acc_in, gb_in, acc_out, gb_out):
+        return kernel(cam_ref, it_ref, acc_in, gb_in, acc_out, gb_out,
+                      geo_ref=geo_ref, gid_ref=gid_ref, mat_ref=mat_ref)
+
+    return kernel_operand
 
 
 def _pack(planes, n_rows_padded: int):
@@ -398,16 +532,52 @@ def _scene_fingerprint(scene: Scene) -> bytes:
     return h.digest()
 
 
+def _scene_layout_fingerprint(scene: Scene) -> bytes:
+    """Hash of only what the *operand-mode* kernel specializes on: the geom
+    type sequence, material count, resolution/depth — and the mesh, which
+    stays baked in both modes.  Scenes that differ only in transforms or
+    material values (randomizer variants, interactive edits) collide here
+    on purpose: they share one compiled kernel."""
+    import hashlib
+    h = hashlib.sha1()
+    h.update(np.asarray(scene.geoms.type, np.int64).tobytes())
+    h.update(np.int64(scene.materials.count).tobytes())
+    mm = scene.mesh
+    h.update(np.int64(mm.num_faces).tobytes())
+    if mm.num_faces > 0:
+        nf = mm.num_faces
+        for arr in (np.asarray(mm.vertices)[:nf], np.asarray(mm.normals)[:nf],
+                    np.asarray(mm.material_id)[:nf], np.asarray(mm.aabb_lb),
+                    np.asarray(mm.aabb_ub)):
+            h.update(np.ascontiguousarray(arr).tobytes())
+    h.update(repr((scene.camera.resolution, scene.trace_depth)).encode())
+    return h.digest()
+
+
 def _compiled_call(scene: Scene, options: RenderOptions, n_pixels: int,
-                   n_rows: int, interpret: bool):
-    """Build + wrap the pallas_call, cached by scene-content fingerprint."""
-    key = (_scene_fingerprint(scene), options, n_pixels, n_rows, interpret)
+                   n_rows: int, interpret: bool, bake_geometry: bool = True):
+    """Build + wrap the pallas_call, cached by scene-content fingerprint
+    (baked mode) or scene-layout fingerprint (operand mode)."""
+    fp = (_scene_fingerprint(scene) if bake_geometry
+          else _scene_layout_fingerprint(scene))
+    key = (fp, bake_geometry, options, n_pixels, n_rows, interpret)
     cached = _KERNEL_CACHE.get(key)
     if cached is not None:
         return cached
-    kernel = _build_kernel(scene, options, n_pixels)
+    kernel = _build_kernel(scene, options, n_pixels,
+                           bake_geometry=bake_geometry)
     grid = (n_rows // TILE_ROWS,)
 
+    n_geoms = int(np.asarray(scene.geoms.type).shape[0])
+    n_mats = int(scene.materials.count)
+    scene_specs = [] if bake_geometry else [
+        pl.BlockSpec((1, n_geoms * _GEOM_ROW), lambda i: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, n_geoms), lambda i: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, n_mats * _MAT_ROW), lambda i: (0, 0),
+                     memory_space=pltpu.SMEM),
+    ]
     call = pl.pallas_call(
         kernel,
         grid=grid,
@@ -416,6 +586,7 @@ def _compiled_call(scene: Scene, options: RenderOptions, n_pixels: int,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 3), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
+            *scene_specs,
             pl.BlockSpec((3, TILE_ROWS, _LANES), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((7, TILE_ROWS, _LANES), lambda i: (0, i, 0),
@@ -431,7 +602,8 @@ def _compiled_call(scene: Scene, options: RenderOptions, n_pixels: int,
             jax.ShapeDtypeStruct((3, n_rows, _LANES), jnp.float32),
             jax.ShapeDtypeStruct((7, n_rows, _LANES), jnp.float32),
         ],
-        input_output_aliases={2: 0, 3: 1},
+        input_output_aliases=({2: 0, 3: 1} if bake_geometry
+                              else {5: 0, 6: 1}),
         interpret=interpret,
     )
     jitted = jax.jit(call)
@@ -481,8 +653,31 @@ def render_pallas(scene: Scene, options: RenderOptions,
     accum = _pack(tuple(state.accum), n_rows)
     gbuf = _pack(state.gbuf, n_rows)
 
-    call = _compiled_call(scene, options, n, n_rows, interpret)
-    acc_out, gb_out = call(cam_row, iters, accum, gbuf)
+    bake = options.pallas_geometry != "operand"
+    call = _compiled_call(scene, options, n, n_rows, interpret,
+                          bake_geometry=bake)
+    if bake:
+        acc_out, gb_out = call(cam_row, iters, accum, gbuf)
+    else:
+        g = scene.geoms
+        n_geoms = g.transform.shape[0]
+        geo_row = jnp.concatenate([
+            jnp.asarray(g.transform, jnp.float32).reshape(n_geoms, 16),
+            jnp.asarray(g.inverse_transform, jnp.float32).reshape(n_geoms, 16),
+            jnp.asarray(g.inv_transpose, jnp.float32).reshape(n_geoms, 16),
+        ], axis=1).reshape(1, n_geoms * _GEOM_ROW)
+        gid_row = jnp.asarray(g.material_id, jnp.int32).reshape(1, n_geoms)
+        m = scene.materials
+        mat_row = jnp.concatenate([
+            jnp.asarray(m.color, jnp.float32),
+            jnp.asarray(m.specular_color, jnp.float32),
+            jnp.asarray(m.has_reflective, jnp.float32)[:, None],
+            jnp.asarray(m.has_refractive, jnp.float32)[:, None],
+            jnp.asarray(m.index_of_refraction, jnp.float32)[:, None],
+            jnp.asarray(m.emittance, jnp.float32)[:, None],
+        ], axis=1).reshape(1, int(m.count) * _MAT_ROW)
+        acc_out, gb_out = call(cam_row, iters, geo_row, gid_row, mat_row,
+                               accum, gbuf)
 
     ax, ay, az = _unpack(acc_out, n)
     g = _unpack(gb_out, n)

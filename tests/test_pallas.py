@@ -190,3 +190,49 @@ def test_pallas_mesh_matches_xla():
                                atol=1e-6, rtol=0)
     # depth channel sees the mesh (closer than the back wall) somewhere
     assert (np.asarray(gb_x)[6] > 0).any()
+
+
+# ---------------------------------------------------------------------------
+# Operand-geometry mode: one compiled kernel per scene *layout*
+# ---------------------------------------------------------------------------
+
+def test_pallas_operand_matches_baked_bitexact(cornell_scene_small):
+    """pallas_geometry="operand" (scene in SMEM scalars) reproduces the
+    baked-constant kernel bit-for-bit: same math, constants vs sregs."""
+    scene = _small(cornell_scene_small)
+    img_b, gb_b, _ = render(scene, RenderOptions(backend="pallas"),
+                            num_iterations=2)
+    img_o, gb_o, _ = render(
+        scene, RenderOptions(backend="pallas", pallas_geometry="operand"),
+        num_iterations=2)
+    np.testing.assert_array_equal(np.asarray(img_b), np.asarray(img_o))
+    np.testing.assert_array_equal(np.asarray(gb_b), np.asarray(gb_o))
+
+
+def test_pallas_operand_kernel_shared_across_scene_variants():
+    """Randomizer variants (same geom layout, different transforms and
+    materials) must reuse ONE compiled kernel in operand mode — the whole
+    point of the mode (datagen scene streams don't recompile) — and still
+    render *different* images."""
+    import os
+    from ai_path_tracer_denoiser_tpu.render.pallas_backend import \
+        _KERNEL_CACHE
+    from ai_path_tracer_denoiser_tpu.scene import parse_scene_text
+    from ai_path_tracer_denoiser_tpu.scene.randomizer import generate_variants
+
+    tmpl = open(os.path.join(os.path.dirname(__file__), "..", "scenes",
+                             "template_random.txt")).read()
+    base = os.path.join(os.path.dirname(__file__), "..", "scenes")
+    v1, v2 = [_small(parse_scene_text(t, base_dir=base))
+              for t in generate_variants(tmpl, 2, seed=7)]
+    opts = RenderOptions(backend="pallas", pallas_geometry="operand")
+    img1, _, _ = render(v1, opts, num_iterations=1)
+    n_after_first = len(_KERNEL_CACHE)
+    img2, _, _ = render(v2, opts, num_iterations=1)
+    assert len(_KERNEL_CACHE) == n_after_first, \
+        "second variant compiled a new kernel despite identical layout"
+    assert not np.array_equal(np.asarray(img1), np.asarray(img2))
+    # and the shared kernel is still exact vs the per-scene baked one
+    img2_b, _, _ = render(v2, RenderOptions(backend="pallas"),
+                          num_iterations=1)
+    np.testing.assert_array_equal(np.asarray(img2_b), np.asarray(img2))
