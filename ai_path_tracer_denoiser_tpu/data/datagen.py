@@ -69,6 +69,17 @@ def generate_training_data(
     for scene_idx, scene in enumerate(scenes):
         phi, theta, zoom = orbit_params_from_camera(scene.camera)
         for frame in range(frames_per_scene):
+            # Resume: skip frames whose (input, gt) pairs all exist already —
+            # an interrupted campaign restarts where it stopped instead of
+            # re-rendering hours of ground truth.
+            done = all(
+                os.path.exists(os.path.join(
+                    input_dir, f"{scene_idx:03d}_0_{noise}_{frame:04d}.npy"))
+                and os.path.exists(os.path.join(
+                    gt_dir, f"{scene_idx:03d}_0_{noise}_{frame:04d}.npy"))
+                for noise in range(noise_seeds))
+            if done and not png_dump:
+                continue
             cam = orbit_camera(scene.camera, phi + dphi * frame, theta, zoom)
             fscene = dataclasses.replace(scene, camera=cam)
             # ground truth: accumulate gt_spp iterations once per frame —

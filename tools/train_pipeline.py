@@ -56,7 +56,12 @@ def stage_datagen(args):
     from ai_path_tracer_denoiser_tpu.config import RenderOptions
     from ai_path_tracer_denoiser_tpu.data.datagen import generate_training_data
 
-    opts = RenderOptions(backend=args.render_backend)
+    if args.render_backend == "pallas_operand":
+        # One compiled megakernel serves the whole randomizer scene stream
+        # (same geom layout) — ~4.6x the XLA wavefront's GT rate at 512^2.
+        opts = RenderOptions(backend="pallas", pallas_geometry="operand")
+    else:
+        opts = RenderOptions(backend=args.render_backend)
     template = os.path.join(REPO, "scenes", "template_random.txt")
     for split, count, seed, frames in (
             ("train", args.train_scenes, 42, args.frames),
