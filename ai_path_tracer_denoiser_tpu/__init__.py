@@ -22,4 +22,34 @@ but every piece is designed TPU-first rather than translated.
 
 __version__ = "0.1.0"
 
-from . import config as config  # noqa: F401
+import os as _os
+
+
+def _enable_compile_cache():
+    """Persistent XLA compile cache for every entry point.
+
+    The megakernel's cold compile is minutes; the cache turns repeat runs
+    (CLI invocations, the training pipeline, bench) into ~100 ms loads.
+    Opt out with APTD_NO_COMPILE_CACHE=1; an explicit user-configured cache
+    dir (env or jax.config) is never overridden.
+    """
+    if _os.environ.get("APTD_NO_COMPILE_CACHE") == "1":
+        return
+    if _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return
+    import jax
+    if jax.config.jax_compilation_cache_dir:
+        return
+    cache = _os.path.join(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))), ".jax_cache")
+    try:
+        _os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except (OSError, AttributeError):  # read-only install dir, old jax
+        pass
+
+
+_enable_compile_cache()
+
+from . import config as config  # noqa: E402,F401
