@@ -38,11 +38,11 @@ def _enable_compile_cache():
     if _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
         return
     import jax
-    if jax.config.jax_compilation_cache_dir:
-        return
     cache = _os.path.join(_os.path.dirname(_os.path.dirname(
         _os.path.abspath(__file__))), ".jax_cache")
     try:
+        if jax.config.jax_compilation_cache_dir:
+            return
         _os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -111,7 +111,8 @@ def cmd_interactive(args):
     w, h = scene.camera.resolution
     if args.model and os.path.exists(args.model):
         params, bn_state, meta = load_model(args.model)
-        mopts = ModelOptions(widths=tuple(meta.get("widths", (32, 43, 57, 76, 101))))
+        from ..models import model_options_from_meta
+        mopts = model_options_from_meta(meta)
     else:
         print("no trained model given; using randomly initialized denoiser")
         mopts = ModelOptions()
@@ -137,7 +138,8 @@ def cmd_interactive(args):
         # live preview stream — the headless stand-in for the reference's
         # GL window + imshow (preview.cpp:174-203, main.cpp:89-100)
         from ..utils.preview import PreviewServer
-        server = PreviewServer(port=args.serve)
+        server = PreviewServer(port=args.serve,
+                               host=args.serve_host)
         print(f"live preview at http://localhost:{server.port}/")
     for frame in range(args.frames):
         cam = orbit_camera(scene.camera, phi + args.dphi * frame, theta, zoom)
@@ -205,7 +207,7 @@ def cmd_train(args):
     import jax
 
     from ..config import ModelOptions, TrainOptions
-    from ..data import SequenceDataset, find_max, sequence_batches
+    from ..data import SequenceDataset, sequence_batches
     from ..train import (MetricsLogger, fit, init_train_state,
                          latest_checkpoint, load_checkpoint, save_checkpoint)
 
@@ -219,12 +221,11 @@ def cmd_train(args):
             state = load_checkpoint(ckpt, state)
             print(f"resumed from {ckpt} at step {int(state.step)}")
 
-    m = None
-    if args.scenes_meta:
-        s, mv, nz = (int(v) for v in args.scenes_meta.split(","))
-        m = find_max(os.path.join(args.data_dir, "input"), s, mv, nz)
+    # Window boundaries come from the filenames themselves (the dataset
+    # builds its per-(scene, mov, noise) table; the reference's find_max
+    # pre-scan — dataloader.py:17-23 — is redundant here).
     dataset = SequenceDataset(os.path.join(args.data_dir, "input"),
-                              os.path.join(args.data_dir, "gt"), m,
+                              os.path.join(args.data_dir, "gt"),
                               crop=args.crop_size > 0, crop_size=args.crop_size)
     logger = MetricsLogger(args.log_dir)
 
@@ -284,7 +285,8 @@ def cmd_eval(args):
         mopts = ModelOptions()
     else:
         params, bn_state, meta = load_model(args.model)
-        mopts = ModelOptions(widths=tuple(meta.get("widths", (32, 43, 57, 76, 101))))
+        from ..models import model_options_from_meta
+        mopts = model_options_from_meta(meta)
 
     dataset = SequenceDataset(os.path.join(args.data_dir, "input"),
                               os.path.join(args.data_dir, "gt"), None)
@@ -325,10 +327,11 @@ def cmd_export(args):
     from ..config import ModelOptions
     from ..models import save_model
     from ..train import init_train_state, load_checkpoint
-    template = init_train_state(jax.random.PRNGKey(0))
+    mopt = (ModelOptions.tpu_friendly() if getattr(args, "tpu_friendly",
+                                                   False) else ModelOptions())
+    template = init_train_state(jax.random.PRNGKey(0), mopt)
     state = load_checkpoint(args.checkpoint, template)
-    save_model(args.out, state.params, state.bn_state,
-               {"widths": list(ModelOptions().widths)})
+    save_model(args.out, state.params, state.bn_state, options=mopt)
     print(f"exported {args.out}")
 
 
@@ -399,6 +402,8 @@ def main(argv=None):
     sp.add_argument("--dphi", type=float, default=0.01)
     sp.add_argument("--model", default=None)
     sp.add_argument("--out-dir", default="frames")
+    sp.add_argument("--serve-host", default="127.0.0.1",
+                    help="preview bind address (default loopback only)")
     sp.add_argument("--serve", type=int, default=0, metavar="PORT",
                     help="stream frames live over HTTP (MJPEG) on PORT")
     sp.add_argument("--parity-denoise", action="store_true",
@@ -445,8 +450,6 @@ def main(argv=None):
     sp.add_argument("--resume", action="store_true")
     sp.add_argument("--data-parallel", action="store_true")
     sp.add_argument("--tpu-friendly", action="store_true")
-    sp.add_argument("--scenes-meta", default=None,
-                    help="num_scenes,num_mov,num_noise for find_max")
     sp.add_argument("--platform", default=None)
     sp.set_defaults(fn=cmd_train)
 
@@ -461,6 +464,8 @@ def main(argv=None):
     sp = sub.add_parser("export", help="checkpoint -> deployable .npz")
     sp.add_argument("checkpoint")
     sp.add_argument("--out", default="model_deploy.npz")
+    sp.add_argument("--tpu-friendly", action="store_true",
+                    help="checkpoint uses ModelOptions.tpu_friendly() widths")
     sp.set_defaults(fn=cmd_export)
 
     sp = sub.add_parser("bench", help="per-scene timing harness")

@@ -10,20 +10,39 @@ layout ``apply_sequence`` scans over.
 from __future__ import annotations
 
 import os
-from typing import Iterator, Optional, Tuple
+import re
+from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
+
+# {scene}_{mov}_{noise}_{frame}.<ext> — zero-padded (our datagen) or raw
+# ints (the reference's train.sh output); anything else (README, .DS_Store,
+# checkpoints) is ignored rather than crashing the scan.
+_NAME_RE = re.compile(r"^(\d+)_(\d+)_(\d+)_(\d+)\.(\w+)$")
+
+
+def _scan_frames(directory: str, ext: str = "npy"
+                 ) -> Tuple[List[Tuple[int, int, int, int]], List[str]]:
+    """List a frame directory in NUMERIC (scene, mov, noise, frame) order.
+
+    Sorting parsed keys — not names — makes raw-int reference filenames
+    ('0_0_0_10' < '0_0_0_2' lexicographically) window correctly too.
+    """
+    entries = []
+    for name in os.listdir(directory):
+        m = _NAME_RE.match(name)
+        if m and (ext is None or m.group(5) == ext):
+            entries.append((tuple(int(g) for g in m.groups()[:4]), name))
+    entries.sort()
+    return [k for k, _ in entries], [n for _, n in entries]
 
 
 def find_max(directory: str, num_scenes: int, num_mov: int, num_noise: int
              ) -> np.ndarray:
-    """Max frame index per (scene, mov, noise) (dataloader.py:17-23)."""
-    files = sorted(os.listdir(directory))
+    """Max frame index per (scene, mov, noise) (dataloader.py:17-23);
+    scans any frame-named files (PNG dirs included, like the reference)."""
     m = np.zeros((num_scenes + 1, num_mov + 1, num_noise + 1))
-    for name in files:
-        parts = name.split("_")
-        s, mv, nz = int(parts[0]), int(parts[1]), int(parts[2])
-        frame = int(parts[3].split(".")[0])
+    for (s, mv, nz, frame), _ in zip(*_scan_frames(directory, ext=None)):
         m[s, mv, nz] = max(m[s, mv, nz], frame)
     return m
 
@@ -36,9 +55,12 @@ class SequenceDataset:
                  crop_size: int = 256, seed: int = 0):
         self.input_dir = input_dir
         self.gt_dir = gt_dir
-        self.inputs = sorted(os.listdir(input_dir))
-        self.outputs = sorted(os.listdir(gt_dir))
-        assert len(self.inputs) == len(self.outputs), "input/gt count mismatch"
+        in_keys, self.inputs = _scan_frames(input_dir)
+        out_keys, self.outputs = _scan_frames(gt_dir)
+        assert in_keys == out_keys, (
+            "input/gt frame sets differ (same {scene}_{mov}_{noise}_{frame} "
+            "keys required in both directories)")
+        self._keys = in_keys
         self.m = m     # kept for reference-API parity; superseded below
         self.T = sequence_length
         self.crop = crop
@@ -46,30 +68,46 @@ class SequenceDataset:
         self.rng = np.random.default_rng(seed)
         import threading
         self._lock = threading.Lock()
-        # Per-(scene, mov, noise) max frame, built from the filenames.  The
-        # reference clamps windows with `start = m[...] - 6` (dataloader.py
-        # :48-49) — a *frame number* used as a global file *position*, which
-        # is only correct for a single-scene dataset; with many scenes its
-        # windows silently straddle scene boundaries.  We keep its clamp
-        # semantics but do the arithmetic in positions within the group.
-        self._group_max = {}
-        for fname in self.inputs:
-            parts = fname.split("_")
-            key = (int(parts[0]), int(parts[1]), int(parts[2]))
-            frame = int(parts[3].split(".")[0])
+        # Per-(scene, mov, noise) frame range.  The reference clamps windows
+        # with `start = m[...] - 6` (dataloader.py:48-49) — a *frame number*
+        # used as a global file *position*, which is only correct for a
+        # single-scene dataset; with many scenes its windows silently
+        # straddle scene boundaries.  We keep its clamp semantics but do the
+        # arithmetic in positions within the group, and validate up front
+        # that every group is dense and long enough for a full window —
+        # silent cross-scene windows are worse than a loud error.
+        self._group_min: dict = {}
+        self._group_max: dict = {}
+        counts: dict = {}
+        for (s, mv, nz, frame) in self._keys:
+            key = (s, mv, nz)
+            self._group_min[key] = min(self._group_min.get(key, frame), frame)
             self._group_max[key] = max(self._group_max.get(key, -1), frame)
+            counts[key] = counts.get(key, 0) + 1
+        for key, n in counts.items():
+            span = self._group_max[key] - self._group_min[key] + 1
+            if span != n:
+                raise ValueError(
+                    f"frame group {key} has gaps: frames "
+                    f"{self._group_min[key]}..{self._group_max[key]} but "
+                    f"only {n} files — temporal windows need consecutive "
+                    "frames")
+            if n < self.T:
+                raise ValueError(
+                    f"frame group {key} has {n} frames < sequence_length="
+                    f"{self.T}; regenerate with more frames per scene")
 
     def __len__(self):
         return len(self.inputs)
 
     def __getitem__(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
-        name = self.inputs[index]
-        parts = name.split("_")
-        key = (int(parts[0]), int(parts[1]), int(parts[2]))
-        frame = int(parts[3].split(".")[0])
-        last = self._group_max[key]
+        s, mv, nz, frame = self._keys[index]
+        key = (s, mv, nz)
+        first, last = self._group_min[key], self._group_max[key]
         # clamp the window at the end of this (scene, mov, noise) sequence
-        start_frame = min(frame, max(0, last - (self.T - 1)))
+        # (validated in __init__: group is dense with >= T frames, so the
+        # whole window stays inside the group)
+        start_frame = min(frame, max(first, last - (self.T - 1)))
         start = index - (frame - start_frame)
         # Crop offsets are drawn BEFORE loading and the files are memory-
         # mapped, so only the cropped window is ever read/copied — a full

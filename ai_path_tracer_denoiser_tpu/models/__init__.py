@@ -5,7 +5,8 @@ from .autoencoder import (  # noqa: F401
     apply_sequence,
     param_count,
 )
-from .export import save_model, load_model  # noqa: F401
+from .export import (save_model, load_model,  # noqa: F401
+                     model_options_from_meta)  # noqa: F401
 from .inference import (  # noqa: F401
     apply_frame_fast,
     apply_sequence_fast,

@@ -36,8 +36,20 @@ def _unflatten(flat: Dict[str, np.ndarray]):
     return tree
 
 
-def save_model(path: str, params, bn_state, meta: Dict[str, Any] = None):
-    """Write params + bn state + metadata to ``path`` (.npz)."""
+def save_model(path: str, params, bn_state, meta: Dict[str, Any] = None,
+               options=None):
+    """Write params + bn state + metadata to ``path`` (.npz).
+
+    Pass ``options`` (ModelOptions) to record the architecture (widths AND
+    norm) in the metadata — loaders must know the norm to route batch-norm
+    checkpoints through the BN-folding deployment path and group-norm ones
+    through the eval graph (folding GroupNorm would silently produce
+    garbage: its statistics are per-sample, not running state).
+    """
+    meta = dict(meta or {})
+    if options is not None:
+        meta.setdefault("widths", list(options.widths))
+        meta.setdefault("norm", options.norm)
     flat = {f"params/{k}": v for k, v in _flatten(params).items()}
     flat.update({f"bn_state/{k}": v for k, v in _flatten(bn_state).items()})
     flat["__meta__"] = np.frombuffer(
@@ -62,3 +74,15 @@ def load_model(path: str) -> Tuple[Any, Any, Dict[str, Any]]:
     params = jax.tree_util.tree_map(jnp.asarray, _unflatten(params_flat))
     bn_state = jax.tree_util.tree_map(jnp.asarray, _unflatten(state_flat))
     return params, bn_state, meta
+
+
+def model_options_from_meta(meta: Dict[str, Any]):
+    """Reconstruct the ModelOptions a checkpoint was trained with.
+
+    Missing keys fall back to the reference architecture (pre-``norm``
+    artifacts were all BatchNorm).
+    """
+    from ..config import ModelOptions
+    return ModelOptions(
+        widths=tuple(meta.get("widths", (32, 43, 57, 76, 101))),
+        norm=meta.get("norm", "batch"))

@@ -312,7 +312,17 @@ def mesh_intersect_v(mesh: MeshData, o: Vec3, d: Vec3, chunk: int = 16):
 
 
 def ray_aabb_intersect_v(o: Vec3, d: Vec3, lb, ub) -> jnp.ndarray:
-    """Slab AABB test (intersections.h:175-200) over ray planes -> bool."""
+    """Slab AABB test (intersections.h:175-200) over ray planes -> bool.
+
+    NaN note (0 * inf when the origin sits exactly on a bound with a zero
+    direction component): jnp's NaN-propagating min/max makes the result
+    False.  The reference's fminf/fmaxf *drop* NaN instead, but in every
+    NaN-producing case its accumulators still end at +-inf and the ray is
+    culled too — outcomes are identical, so plain jnp min/max is kept.
+    The BVH traversal gate (render/mesh_kernel.py:_slab_live) must be
+    *more* careful: it cannot cull on NaN at all, because the dense scan
+    it must match bitwise has no per-cluster gates.
+    """
     tmin = jnp.full_like(o.x, -jnp.inf)
     tmax = jnp.full_like(o.x, jnp.inf)
     for oc, dc, lo, hi in ((o.x, d.x, lb[0], ub[0]),

@@ -64,8 +64,16 @@ def _slab_live(row, o: Vec3, inv: Vec3, t_run):
     for axis, (oc, ic) in enumerate(((o.x, inv.x), (o.y, inv.y), (o.z, inv.z))):
         t1 = (row[0, axis] - oc) * ic
         t2 = (row[0, axis + 3] - oc) * ic
-        tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
-        tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
+        lo = jnp.minimum(t1, t2)
+        hi = jnp.maximum(t1, t2)
+        # 0 * inf = NaN (origin exactly on a node bound with a zero
+        # direction component): treat the axis as unbounded rather than
+        # culling.  The dense scan this kernel must match bitwise has no
+        # per-cluster gates, so the gate may only ever be conservative.
+        lo = jnp.where(jnp.isnan(lo), -_INF, lo)
+        hi = jnp.where(jnp.isnan(hi), _INF, hi)
+        tmin = jnp.maximum(tmin, lo)
+        tmax = jnp.minimum(tmax, hi)
     return (tmax >= tmin) & (tmax >= 0.0) & (jnp.maximum(tmin, 0.0) < t_run)
 
 

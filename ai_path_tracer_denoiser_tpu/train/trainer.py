@@ -101,9 +101,18 @@ def fit(state: TrainState, data_iter_fn: Callable[[], Iterable],
     """Epoch driver (train.py:54-112): StepLR per epoch, periodic checkpoints.
 
     ``data_iter_fn()`` must yield (inputs (T,N,H,W,10), targets (T,N,H,W,3))
-    numpy/jnp batches for one epoch.  ``start_epoch`` resumes the StepLR
-    schedule mid-run (epochs already covered by a loaded checkpoint).
+    numpy/jnp batches for one epoch; if it accepts an argument it receives
+    the epoch index — shuffle with it (the reference's DataLoader reshuffles
+    every epoch; a constant order would quietly degrade training).
+    ``start_epoch`` resumes the StepLR schedule mid-run (epochs already
+    covered by a loaded checkpoint).
     """
+    import inspect
+    takes_epoch = False
+    try:
+        takes_epoch = len(inspect.signature(data_iter_fn).parameters) >= 1
+    except (TypeError, ValueError):
+        pass
     epochs = epochs if epochs is not None else train_options.epochs
     jit_step = jax.jit(lambda s, x, y: train_step(s, x, y, train_options,
                                                   model_options=model_options))
@@ -114,7 +123,8 @@ def fit(state: TrainState, data_iter_fn: Callable[[], Iterable],
         state = dataclasses.replace(state, lr=jnp.asarray(lr, jnp.float32))
         t0 = time.time()
         total, count = 0.0, 0
-        for i, (inputs, targets) in enumerate(data_iter_fn()):
+        batches = data_iter_fn(epoch) if takes_epoch else data_iter_fn()
+        for i, (inputs, targets) in enumerate(batches):
             state, metrics = jit_step(state, jnp.asarray(inputs),
                                       jnp.asarray(targets))
             loss_val = float(metrics["total"])

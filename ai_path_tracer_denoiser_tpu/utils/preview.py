@@ -44,7 +44,10 @@ def _encode(frame: np.ndarray):
 class PreviewServer:
     """Threaded frame streamer; ``push()`` swaps in the newest frame."""
 
-    def __init__(self, port: int = 8000, host: str = "0.0.0.0"):
+    def __init__(self, port: int = 8000, host: str = "127.0.0.1"):
+        # Loopback by default: the stream is unauthenticated, so exposing
+        # it on all interfaces of a shared TPU host must be an explicit
+        # choice (pass host="0.0.0.0" / --serve-host to opt in).
         self._frame = None          # (mime, bytes)
         self._seq = 0
         self._cond = threading.Condition()

@@ -181,3 +181,99 @@ def test_raygen_seed_semantics_documented(cornell_scene_small):
         np.testing.assert_array_equal(np.asarray(d.x), np.asarray(expect.x))
         np.testing.assert_array_equal(np.asarray(d.y), np.asarray(expect.y))
         np.testing.assert_array_equal(np.asarray(d.z), np.asarray(expect.z))
+
+
+def test_bvh_gate_conservative_on_boundary_ray():
+    """A ray whose origin lies exactly on a BVH node bound with a zero
+    direction component makes the slab test compute 0 * inf = NaN.  The
+    dense scan has no per-cluster gates, so the traversal gate must treat
+    NaN as "unbounded axis" (conservative) — NaN-propagating min/max would
+    cull the node and silently lose the triangle the scan finds."""
+    import jax.numpy as jnp
+    from ai_path_tracer_denoiser_tpu.ops.bvh import build_mesh_bvh
+    from ai_path_tracer_denoiser_tpu.ops.intersect import mesh_intersect_v
+    from ai_path_tracer_denoiser_tpu.ops.vec3 import Vec3
+    from ai_path_tracer_denoiser_tpu.render.mesh_kernel import (
+        mesh_intersect_bvh)
+    from ai_path_tracer_denoiser_tpu.scene.structs import make_mesh
+
+    # axis-aligned triangle grid: every vertex (and so every un-widened
+    # cluster bound) sits on integer x coordinates
+    verts, norms, mats = [], [], []
+    for gx in range(8):
+        for gy in range(8):
+            x, y = float(gx), float(gy)
+            verts.append([[x, y, 0.0], [x + 1, y, 0.0], [x, y + 1, 0.0]])
+            norms.append([[0, 0, 1]] * 3)
+            mats.append(0)
+    verts = np.asarray(verts, np.float32)
+    norms = np.asarray(norms, np.float32)
+    mats = np.asarray(mats, np.int32)
+    mesh = make_mesh(verts, norms, mats)
+    bvh, _ = build_mesh_bvh(verts, norms, mats)
+
+    # rays riding exact node-bound planes with d.x == 0: the slab test
+    # computes (bound - origin) * inf = 0 * inf = NaN for those nodes.
+    # (The builder widens bounds off the geometry, so a NaN-culled node
+    # cannot contain a true hit in practice — this pins down that the
+    # gate stays conservative, scan-equal even in that corner.)
+    bx = np.asarray(bvh.cluster_bounds)[:, [0, 3]].ravel()
+    bx = np.unique(bx[np.isfinite(bx)])[:8]         # exact widened planes
+    n = len(bx) + 4
+    o = np.stack([np.concatenate([bx, [0.0, 4.0, 7.0, 2.0]]),
+                  np.linspace(0.2, 7.2, n), np.ones(n)], 1)
+    d = np.tile(np.asarray([[0.0, 0.0, -1.0]]), (n, 1))
+    ov = Vec3(*(jnp.asarray(o[:, k], jnp.float32) for k in range(3)))
+    dv = Vec3(*(jnp.asarray(d[:, k], jnp.float32) for k in range(3)))
+    t_ref = np.asarray(mesh_intersect_v(mesh, ov, dv)[0])
+    t_k = np.asarray(mesh_intersect_bvh(bvh, ov, dv, interpret=True)[0])
+    np.testing.assert_array_equal(t_ref, t_k)
+    assert (t_ref > 0).any()            # the rays really do hit
+
+
+def _write_frames(tmp_path, names, shape=(8, 8, 10), gshape=(8, 8, 3)):
+    import numpy as np
+    inp = tmp_path / "input"
+    gt = tmp_path / "gt"
+    inp.mkdir(exist_ok=True)
+    gt.mkdir(exist_ok=True)
+    for n in names:
+        np.save(inp / n, np.zeros(shape, np.float32))
+        np.save(gt / n, np.zeros(gshape, np.float32))
+    return str(inp), str(gt)
+
+
+def test_dataset_rejects_short_groups(tmp_path):
+    """A (scene,mov,noise) group shorter than the window must fail loudly,
+    not overrun into the next scene (silent cross-scene 'temporal' data)."""
+    import pytest
+    from ai_path_tracer_denoiser_tpu.data import SequenceDataset
+    names = [f"000_0_0_{f:04d}.npy" for f in range(4)] + \
+            [f"001_0_0_{f:04d}.npy" for f in range(9)]
+    inp, gt = _write_frames(tmp_path, names)
+    with pytest.raises(ValueError, match="sequence_length"):
+        SequenceDataset(inp, gt, sequence_length=7)
+
+
+def test_dataset_numeric_order_and_stray_files(tmp_path):
+    """Raw-int reference filenames ('0_0_0_10' < '0_0_0_2' lexicographically)
+    must window in FRAME order, and non-frame files must be ignored."""
+    import numpy as np
+    from ai_path_tracer_denoiser_tpu.data import SequenceDataset
+    names = [f"0_0_0_{f}.npy" for f in range(12)]          # unpadded frames
+    inp, gt = _write_frames(tmp_path, names)
+    open(tmp_path / "input" / "README.txt", "w").write("stray")
+    # tag each input frame with its frame number so windows are checkable
+    for f in range(12):
+        np.save(tmp_path / "input" / f"0_0_0_{f}.npy",
+                np.full((8, 8, 10), f, np.float32))
+    ds = SequenceDataset(inp, gt, sequence_length=7)
+    assert len(ds) == 12
+    # window anchored at frame 2 must be frames 2..8, not [2,20,21,...]
+    idx = ds.inputs.index("0_0_0_2.npy")
+    x, _ = ds[idx]
+    assert [int(v) for v in x[:, 0, 0, 0]] == [2, 3, 4, 5, 6, 7, 8]
+    # clamped end window: anchored at frame 11 -> frames 5..11
+    idx = ds.inputs.index("0_0_0_11.npy")
+    x, _ = ds[idx]
+    assert [int(v) for v in x[:, 0, 0, 0]] == [5, 6, 7, 8, 9, 10, 11]

@@ -69,7 +69,7 @@ def stage_datagen(args):
         out_dir = os.path.join(args.out, "data", split)
         if os.path.exists(os.path.join(out_dir, "input")):
             n = len(os.listdir(os.path.join(out_dir, "input")))
-            if n >= count * frames:
+            if n >= count * frames * args.noise_seeds:
                 print(f"[datagen] {split}: {n} frames already present, skip")
                 continue
         scenes = [_rescale(s, args.res)
@@ -113,8 +113,9 @@ def stage_train(args):
           f"epochs {start_epoch}..{args.epochs}, widths {mopt.widths}")
     logger = MetricsLogger(os.path.join(args.out, "logs"))
     state = fit(state,
-                lambda: sequence_batches(dataset, batch_size=args.batch,
-                                         seed=int(state.step)),
+                lambda epoch: sequence_batches(dataset,
+                                               batch_size=args.batch,
+                                               seed=epoch),
                 topt, epochs=args.epochs, logger=logger,
                 checkpoint_fn=lambda s, e: save_checkpoint(model_dir, s, e),
                 model_options=mopt, start_epoch=start_epoch)
@@ -122,10 +123,10 @@ def stage_train(args):
     from ai_path_tracer_denoiser_tpu.models.export import save_model
     path = os.path.join(REPO, "artifacts", args.artifact)
     save_model(path, state.params, state.bn_state,
-               meta={"widths": list(mopt.widths),
-                     "trained_on": f"{args.train_scenes} randomized scenes "
+               meta={"trained_on": f"{args.train_scenes} randomized scenes "
                                    f"@{args.res}^2, gt {args.gt_spp}spp",
-                     "epochs": args.epochs})
+                     "epochs": args.epochs},
+               options=mopt)
     print(f"[train] exported {path}")
     return state
 
@@ -146,8 +147,8 @@ def stage_eval(args):
 
     params, bn_state, meta = load_model(os.path.join(REPO, "artifacts",
                                                      args.artifact))
-    mopt = ModelOptions(widths=tuple(meta.get("widths",
-                                              (32, 43, 57, 76, 101))))
+    from ai_path_tracer_denoiser_tpu.models import model_options_from_meta
+    mopt = model_options_from_meta(meta)
     data = os.path.join(args.out, "data", "eval")
     dataset = SequenceDataset(os.path.join(data, "input"),
                               os.path.join(data, "gt"), crop=False)
