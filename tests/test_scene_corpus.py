@@ -29,7 +29,9 @@ def test_checked_in_randomized_corpus_parses():
     have a light so datagen never renders black ground truths."""
     created = sorted(glob.glob(os.path.join(SCENES_DIR, "scenes_created",
                                             "*.txt")))
-    assert len(created) == 30
+    # 30 randomize-CLI variants + the 28 train / 4 eval variants that
+    # trained the shipped multi-scene model (seeds 42 / 777)
+    assert len(created) == 62
     for path in created:
         scene = load_scene(path)
         assert float(np.asarray(scene.materials.emittance).max()) > 0
