@@ -107,6 +107,28 @@ def bench_denoiser():
     return sorted(times)
 
 
+def bench_mesh_bvh():
+    """Bunny-class mesh rate: the 81,920-face statue scene at 800^2, 1 spp
+    per frame through the cluster-BVH Pallas kernel (ops/bvh.py,
+    render/mesh_kernel.py).  The reference's brute-force per-ray loop
+    (pathtrace.cu:258-281) cannot render meshes at this scale."""
+    from ai_path_tracer_denoiser_tpu.config import RenderOptions
+    from ai_path_tracer_denoiser_tpu.render import render
+    from ai_path_tracer_denoiser_tpu.scene import load_scene
+
+    scene = load_scene("scenes/cornell_mesh_statue.txt")
+    options = RenderOptions()
+    _, _, state = render(scene, options, num_iterations=2)
+    _fence(state.accum.x)
+    times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        _, _, state = render(scene, options, num_iterations=8, state=state)
+        _fence(state.accum.x)
+        times.append((time.perf_counter() - t0) / 8)
+    return sorted(times)
+
+
 def bench_train_step():
     """Reference config: one 7-frame 256^2 sequence per step (train.py:50)."""
     from ai_path_tracer_denoiser_tpu.config import ModelOptions, TrainOptions
@@ -135,6 +157,7 @@ def main():
     baseline_mrays = (WIDTH * HEIGHT) / REFERENCE_SECONDS_PER_FRAME / 1e6
     den = bench_denoiser()
     tr = bench_train_step()
+    mesh = bench_mesh_bvh()
     print(json.dumps({
         "metric": "pt_1spp_Mrays_per_s_per_chip",
         "value": round(mrays, 3),
@@ -148,6 +171,8 @@ def main():
             "train_step_ms_median": round(tr[len(tr) // 2] * 1e3, 3),
             "train_step_vs_baseline": round(
                 REFERENCE_TRAIN_STEP_SECONDS / tr[len(tr) // 2], 2),
+            "statue_81920faces_1spp_ms_median": round(
+                mesh[len(mesh) // 2] * 1e3, 3),
             "reps": REPS,
         },
     }))
