@@ -22,6 +22,12 @@ def save_checkpoint(directory: str, state, epoch) -> str:
     """Write a full-train-state checkpoint; returns the path."""
     os.makedirs(directory, exist_ok=True)
     path = os.path.join(directory, f"model_{epoch}.npz")
+    # Enqueue every device->host copy before reading any: on a tunneled
+    # TPU each readback costs a full RTT, and np.asarray leaf-by-leaf
+    # serializes ~400 of them (minutes); async-staged they overlap.
+    for leaf in jax.tree_util.tree_leaves(state):
+        if hasattr(leaf, "copy_to_host_async"):
+            leaf.copy_to_host_async()
     flat = {}
     flat.update({f"params/{k}": v for k, v in _flatten(state.params).items()})
     flat.update({f"bn_state/{k}": v for k, v in _flatten(state.bn_state).items()})

@@ -157,20 +157,33 @@ def fit(state: TrainState, data_iter_fn: Callable[[], Iterable],
         total, count = 0.0, 0
         batches = data_iter_fn(epoch) if takes_epoch else data_iter_fn()
         staged = _device_prefetch(batches, bf16_inputs=train_options.bf16_compute)
-        for i, (inputs, targets) in enumerate(staged):
-            state, metrics = jit_step(state, inputs, targets)
-            loss_val = float(metrics["total"])
-            total += loss_val
+        def _log(i, metrics):
+            # ONE host fetch for all metrics: on a tunneled device each
+            # readback costs a full RTT (~0.3 s); per-scalar float() calls
+            # here used to dominate the step time.
+            nonlocal total, count, overall_step
+            m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+            total += m["total"]
             count += 1
             overall_step += 1
             if logger is not None:
-                logger.scalars(overall_step,
-                               {k: float(v) for k, v in metrics.items()})
+                logger.scalars(overall_step, m)
             if i % log_every == 0:
                 print(f"Epoch [{epoch}] Step [{i}] "
-                      f"Total {loss_val:.4f} L1 {float(metrics['l1']):.4f} "
-                      f"HFEN {float(metrics['hfen']):.4f} "
-                      f"Temporal {float(metrics['temporal']):.4f} lr {lr:g}")
+                      f"Total {m['total']:.4f} L1 {m['l1']:.4f} "
+                      f"HFEN {m['hfen']:.4f} "
+                      f"Temporal {m['temporal']:.4f} lr {lr:g}")
+
+        pending = None
+        for i, (inputs, targets) in enumerate(staged):
+            state, metrics = jit_step(state, inputs, targets)
+            # fetch the PREVIOUS step's metrics after dispatching this one:
+            # the RTT of the fetch overlaps this step's device compute
+            if pending is not None:
+                _log(*pending)
+            pending = (i, metrics)
+        if pending is not None:
+            _log(*pending)
         dt = time.time() - t0
         if count:
             print(f"Epoch {epoch}: avg loss {total / count:.4f} ({dt:.1f}s)")
