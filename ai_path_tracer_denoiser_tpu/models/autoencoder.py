@@ -266,7 +266,12 @@ def apply_sequence(params, bn_state, x_seq: jnp.ndarray,
     options = _dc.replace(
         base, widths=widths, in_channels=x_seq.shape[-1],
         out_channels=params["dec1"]["conv2"]["w"].shape[-1])
-    hidden0 = init_hidden(n, h, w, options, dtype=x_seq.dtype)
+    # The conv blocks always emit f32 (f64 under x64) regardless of the
+    # input dtype — bf16 stays inside the MXU (layers.py:80).  The hidden
+    # carry must match that output dtype, NOT x_seq's (a bf16 input batch
+    # would otherwise make the scan carry dtypes disagree).
+    carry_dtype = jnp.float64 if x_seq.dtype == jnp.float64 else jnp.float32
+    hidden0 = init_hidden(n, h, w, options, dtype=carry_dtype)
 
     def step(carry, x):
         hidden, state = carry

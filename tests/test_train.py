@@ -41,6 +41,18 @@ def test_train_step_reduces_loss():
     assert int(state.step) == 9
 
 
+def test_train_step_accepts_bf16_inputs():
+    """The loader ships G-buffer inputs as bf16 (trainer._device_prefetch);
+    the scan's hidden carry must stay the model's f32 output dtype."""
+    state = init_train_state(jax.random.PRNGKey(0), SMALL,
+                             TrainOptions(bf16_compute=True))
+    x, y = _batch()
+    topt = TrainOptions(bf16_compute=True)
+    jit_step = jax.jit(lambda s, a, b: train_step(s, a, b, topt))
+    state, m = jit_step(state, x.astype(jnp.bfloat16), y)
+    assert np.isfinite(float(m["total"]))
+
+
 def test_lr_injection():
     state = init_train_state(jax.random.PRNGKey(0), SMALL, TOPT)
     x, y = _batch(t=2)
