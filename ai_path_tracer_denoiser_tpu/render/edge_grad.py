@@ -19,9 +19,12 @@ object's image, and L_in/L_out the radiance just inside/outside the edge.
 
 Scope (documented): analytic *sphere* geoms with uniform scale — their
 silhouette from a pinhole camera is an exact circle in 3D, sampled in
-closed form.  The silhouette must not be occluded by other geometry.
-Secondary (indirect) visibility boundaries are not estimated.  The
-reference has no differentiable rendering at all; this completes the
+closed form — and *cube* geoms under arbitrary TRS — their silhouette is
+the closed polygon of edges whose adjacent faces differ in front-facing-
+ness (exact for the unit cube; 4 or 6 edges).  The silhouette must not be
+occluded by other geometry (a fully occluded arc self-cancels: L_in ==
+L_out).  Secondary (indirect) visibility boundaries are not estimated.
+The reference has no differentiable rendering at all; this completes the
 framework's "pixel-grad" deliverable for translations, FD-validated in
 tests/test_edge_grad.py.
 """
@@ -171,6 +174,85 @@ def rays_through_pixels(camera: Camera, uv: jnp.ndarray) -> Tuple[Vec3, Vec3]:
     return o, Vec3(d[:, 0], d[:, 1], d[:, 2])
 
 
+# ---------------------------------------------------------------------------
+# Box silhouette geometry
+# ---------------------------------------------------------------------------
+
+def box_silhouette_loop(geoms: Geoms, index: int,
+                        cam_pos) -> "np.ndarray":
+    """Ordered world-space vertices (m, 3) of a unit-cube geom's silhouette
+    polygon as seen from ``cam_pos``.
+
+    A cube face (axis a, sign s) is front-facing iff the object-space
+    camera satisfies s*oc[a] > 0.5; an edge of the cube lies on the
+    silhouette iff its two adjacent faces differ in front-facing-ness.
+    For any viewpoint outside the cube those edges form one closed loop of
+    4 or 6 edges (the projection of a convex body is convex).  The loop is
+    built host-side in numpy — it is static topology for a fixed scene —
+    and returned as ordered, non-repeating vertices.
+    """
+    import numpy as np
+    inv = np.asarray(geoms.inverse_transform[index], np.float64)
+    m = np.asarray(geoms.transform[index], np.float64)
+    oc = (inv @ np.append(np.asarray(cam_pos, np.float64), 1.0))[:3]
+    front = {(a, s): s * oc[a] > 0.5 for a in range(3) for s in (1, -1)}
+    if not any(front.values()):
+        raise ValueError("camera is inside the box; no silhouette")
+
+    edges = []                   # [(p_obj, q_obj)] silhouette edges
+    for a1 in range(3):
+        for a2 in range(a1 + 1, 3):
+            free = 3 - a1 - a2
+            for s1 in (1, -1):
+                for s2 in (1, -1):
+                    if front[(a1, s1)] == front[(a2, s2)]:
+                        continue
+                    p = np.zeros(3)
+                    p[a1], p[a2] = s1 * 0.5, s2 * 0.5
+                    q = p.copy()
+                    p[free], q[free] = -0.5, 0.5
+                    edges.append((p, q))
+
+    # Chain edges into the loop by matching endpoints.
+    def key(v):
+        return tuple(np.round(v * 2).astype(int))
+
+    adj: dict = {}
+    for i, (p, q) in enumerate(edges):
+        adj.setdefault(key(p), []).append(i)
+        adj.setdefault(key(q), []).append(i)
+    loop = [edges[0][0], edges[0][1]]
+    used = {0}
+    while len(used) < len(edges):
+        k = key(loop[-1])
+        nxt = [i for i in adj[k] if i not in used]
+        if not nxt:
+            raise ValueError("silhouette edges do not form a closed loop")
+        i = nxt[0]
+        used.add(i)
+        p, q = edges[i]
+        loop.append(q if key(p) == k else p)
+    verts_obj = np.stack(loop[:-1])            # closed: drop repeated start
+    h = np.concatenate([verts_obj, np.ones((len(verts_obj), 1))], axis=1)
+    return (h @ m.T)[:, :3].astype(np.float32)
+
+
+def polygon_points(verts: jnp.ndarray, phis: jnp.ndarray) -> jnp.ndarray:
+    """Piecewise-linear closed-polygon points for curve params phi in
+    [0, 2pi) — the box analogue of ``silhouette_points_sphere``.  Any
+    piecewise-smooth parameterization integrates exactly (ds uses
+    |du/dphi|); corners are measure-zero and never sampled (phis use
+    half-offset midpoints)."""
+    m = verts.shape[0]
+    u = phis * (m / (2.0 * jnp.pi))
+    k = jnp.floor(u)
+    f = u - k
+    ki = jnp.clip(k.astype(jnp.int32), 0, m - 1)
+    a = verts[ki % m]
+    b = verts[(ki + 1) % m]
+    return a + (b - a) * f[:, None]
+
+
 def sphere_world_radius(geoms: Geoms, index: int) -> float:
     """Reference spheres are radius-0.5 unit spheres scaled by SCALE
     (intersections.h:112); uniform scale required for an exact circle."""
@@ -241,15 +323,29 @@ def translation_gradient(scene: Scene, options: RenderOptions,
     paths just inside and outside each (``eps_px`` pixels across the
     edge), and integrates (L_in - L_out)(v . n) ds in image space.
     """
+    import numpy as np
     cam = scene.camera
     geoms = scene.geoms
-    radius = sphere_world_radius(geoms, geom_index)
     cam_pos = jnp.asarray(cam.position)
+    gtype = int(np.asarray(geoms.type[geom_index]))
+    if gtype == 0:                                   # SPHERE
+        radius = sphere_world_radius(geoms, geom_index)
 
-    def uv_fn(delta, phis):
-        center = geoms.translation[geom_index] + delta
-        x = silhouette_points_sphere(center, radius, cam_pos, phis)
-        return project_to_pixels(x, cam)
+        def uv_fn(delta, phis):
+            center = geoms.translation[geom_index] + delta
+            x = silhouette_points_sphere(center, radius, cam_pos, phis)
+            return project_to_pixels(x, cam)
+    elif gtype == 1:                                 # CUBE
+        # Translating a TRS geom adds delta directly in world space
+        # (world = T + R*S*x_obj), so the silhouette polygon rides along.
+        verts = jnp.asarray(box_silhouette_loop(geoms, geom_index, cam_pos))
+
+        def uv_fn(delta, phis):
+            x = polygon_points(verts, phis) + delta
+            return project_to_pixels(x, cam)
+    else:
+        raise ValueError("edge gradients support sphere and cube geoms; "
+                         f"geom {geom_index} has type {gtype}")
 
     boundary = _silhouette_boundary_term(scene, options, uv_fn,
                                          n_edge, spp, eps_px)
@@ -273,11 +369,14 @@ def camera_translation_gradient(scene: Scene, options: RenderOptions, *,
     """d(mean image)/d(camera position) — a (3,) vector.
 
     Every visibility silhouette moves when the camera moves; this sums the
-    boundary terms of the silhouettes of the given sphere geoms (default:
-    every uniform-scale sphere in the scene).  Scope caveat (documented):
-    box-edge silhouettes and material-boundary curves are NOT sampled —
-    exact only when those edges separate regions of equal radiance (as in
-    the validation scene); elsewhere this is the spheres' contribution.
+    boundary terms of the silhouettes of the given geoms (default: every
+    uniform-scale sphere plus every cube whose silhouette is visible).
+    Sphere silhouettes slide on the surface as the camera moves; a cube's
+    silhouette edges are FIXED on the cube (the active edge set is
+    piecewise constant in camera position — topology flips are
+    measure-zero), so only the projection varies.  Scope caveat
+    (documented): material-boundary curves are NOT sampled — exact only
+    when those curves separate regions of equal radiance.
     """
     import numpy as np
     cam = scene.camera
@@ -285,19 +384,36 @@ def camera_translation_gradient(scene: Scene, options: RenderOptions, *,
     if geom_indices is None:
         types = np.asarray(geoms.type)
         scales = np.asarray(geoms.scale)
-        geom_indices = tuple(
-            int(i) for i in np.nonzero(types == 0)[0]
-            if float(np.ptp(scales[i])) < 1e-6)
+        geom_indices = []
+        for i in range(len(types)):
+            if types[i] == 0 and float(np.ptp(scales[i])) < 1e-6:
+                geom_indices.append(int(i))
+            elif types[i] == 1:
+                try:
+                    box_silhouette_loop(geoms, i, np.asarray(cam.position))
+                    geom_indices.append(int(i))
+                except ValueError:
+                    pass                      # camera inside -> no silhouette
+        geom_indices = tuple(geom_indices)
     base_pos = jnp.asarray(cam.position)
     total = jnp.zeros((3,))
     for k, gi in enumerate(geom_indices):
-        radius = sphere_world_radius(geoms, gi)
-        center = geoms.translation[gi]
+        if int(np.asarray(geoms.type[gi])) == 0:
+            radius = sphere_world_radius(geoms, gi)
+            center = geoms.translation[gi]
 
-        def uv_fn(delta, phis, center=center, radius=radius):
-            pos = base_pos + delta
-            x = silhouette_points_sphere(center, radius, pos, phis)
-            return project_to_pixels(x, cam, position=pos)
+            def uv_fn(delta, phis, center=center, radius=radius):
+                pos = base_pos + delta
+                x = silhouette_points_sphere(center, radius, pos, phis)
+                return project_to_pixels(x, cam, position=pos)
+        else:
+            verts = jnp.asarray(box_silhouette_loop(geoms, gi,
+                                                    np.asarray(cam.position)))
+
+            def uv_fn(delta, phis, verts=verts):
+                pos = base_pos + delta
+                x = polygon_points(verts, phis)
+                return project_to_pixels(x, cam, position=pos)
 
         total = total + _silhouette_boundary_term(
             scene, options, uv_fn, n_edge, spp, eps_px,

@@ -128,6 +128,9 @@ def sequence_loss(outputs: jnp.ndarray, targets: jnp.ndarray,
 
     Returns (total, dict of summed components).
     """
+    # Targets may arrive bf16 off the host pipeline (trainer._device_prefetch);
+    # compute every loss term in the output dtype (f32).
+    targets = targets.astype(outputs.dtype)
     t_out = temporal_diff(outputs)
     t_tgt = temporal_diff(targets)
     t = outputs.shape[0]

@@ -98,13 +98,16 @@ def _device_prefetch(batches: Iterable, bf16_inputs: bool = False,
 
     ``jax.device_put`` returns before the copy completes, so enqueueing the
     next batch's host->device transfer while the current step runs hides
-    the transfer behind compute — on tunneled TPU hosts (~250 MB/s H2D)
-    the raw transfer of a batch-8 7-frame window (~190 MB) otherwise
+    the transfer behind compute — on tunneled TPU hosts (~250-400 MB/s H2D)
+    the raw transfer of a batch-8 7-frame window (~190 MB at f32) otherwise
     dominates the ~0.3 s device step.  ``bf16_inputs`` additionally ships
     the G-buffer inputs as bfloat16 (half the bytes): with bf16 conv
     compute the first consumer casts to bf16 anyway, so the rounding point
-    just moves from device to host.  Targets stay f32 — the loss compares
-    against them directly.
+    just moves from device to host.  Targets ship bf16 too: 8 mantissa
+    bits give ~0.2% relative error on [0,1] radiance, the same order as
+    the 1/255 quantization the reference's PNG ground truth carries
+    (preprocess.py:13-51 divides 8-bit PNGs by 255) — the loss upcasts to
+    f32 on device.
     """
     import collections
 
@@ -113,11 +116,12 @@ def _device_prefetch(batches: Iterable, bf16_inputs: bool = False,
 
     buf = collections.deque()
     for x, y in batches:
-        x = np.asarray(x)
+        x, y = np.asarray(x), np.asarray(y)
         if bf16_inputs:
             import ml_dtypes
             x = x.astype(ml_dtypes.bfloat16)
-        buf.append((device_put(x), device_put(np.asarray(y))))
+            y = y.astype(ml_dtypes.bfloat16)
+        buf.append((device_put(x), device_put(y)))
         if len(buf) >= depth:
             yield buf.popleft()
     while buf:

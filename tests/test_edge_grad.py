@@ -191,6 +191,101 @@ def test_translation_gradient_matches_rendered_fd():
                                err_msg=f"estimator {g[2]} vs rendered FD {fd}")
 
 
+BOX_SCENE_TEXT = SCENE_TEXT.replace(
+    """OBJECT 1
+sphere
+material 1
+TRANS       1.2 0.4 0
+ROTAT       0 0 0
+SCALE       2 2 2
+""",
+    """OBJECT 1
+cube
+material 1
+TRANS       1.2 0.4 0
+ROTAT       20 35 10
+SCALE       1.6 1.2 1.4
+""")
+BOX = 1
+
+
+def _box_scene():
+    return parse_scene_text(BOX_SCENE_TEXT, base_dir=".")
+
+
+def test_box_silhouette_loop_geometry():
+    """The loop is closed, its vertices are cube corners/edge points, and
+    every loop edge separates a front from a back face."""
+    from ai_path_tracer_denoiser_tpu.render.edge_grad import (
+        box_silhouette_loop, polygon_points)
+    scene = _box_scene()
+    verts = box_silhouette_loop(scene.geoms, BOX,
+                                np.asarray(scene.camera.position))
+    assert verts.shape[0] in (4, 6)
+    # all loop vertices are corners of the transformed unit cube
+    inv = np.asarray(scene.geoms.inverse_transform[BOX])
+    h = np.concatenate([verts, np.ones((len(verts), 1))], axis=1)
+    obj = (h @ inv.T)[:, :3]
+    np.testing.assert_allclose(np.abs(obj), 0.5, atol=1e-5)
+    # polygon_points interpolates along the loop
+    phis = jnp.linspace(0.01, 2 * jnp.pi - 0.01, 37)
+    pts = np.asarray(polygon_points(jnp.asarray(verts), phis))
+    po = (np.concatenate([pts, np.ones((len(pts), 1))], 1) @ inv.T)[:, :3]
+    # every sampled point lies ON the cube surface (some |coord| == 0.5)
+    assert np.all(np.isclose(np.abs(po), 0.5, atol=1e-4).any(axis=1))
+
+
+def _box_shoelace_area_oracle(scene, delta_axis, eps=2e-3, n=8192):
+    """Central-difference d(projected silhouette area)/d(translation) for
+    the cube — oracle mirror of _shoelace_area_oracle."""
+    from ai_path_tracer_denoiser_tpu.render.edge_grad import (
+        box_silhouette_loop, polygon_points)
+    cam = scene.camera
+    verts = jnp.asarray(box_silhouette_loop(scene.geoms, BOX,
+                                            np.asarray(cam.position)))
+    phis = jnp.linspace(0, 2 * jnp.pi, n, endpoint=False)
+
+    def area(delta):
+        x = polygon_points(verts, phis) + delta
+        uv = np.asarray(project_to_pixels(x, cam), np.float64)
+        x0, y0 = uv[:, 0], uv[:, 1]
+        x1, y1 = np.roll(x0, -1), np.roll(y0, -1)
+        return abs(np.sum(x0 * y1 - x1 * y0)) / 2.0
+
+    d = np.zeros(3)
+    d[delta_axis] = eps
+    return (area(jnp.asarray(d)) - area(jnp.asarray(-d))) / (2 * eps)
+
+
+def test_box_translation_gradient_matches_area_oracle():
+    """Cube boundary estimator == (L_in - L_out)/N_px * dA/dtheta."""
+    scene = _box_scene()
+    w, h = scene.camera.resolution
+    g = np.asarray(translation_gradient(scene, OPTS, BOX,
+                                        n_edge=512, spp=2, eps_px=0.75))
+    l_in, l_out = 0.0, 2.0
+    for axis in range(3):
+        da = _box_shoelace_area_oracle(scene, axis)
+        expect = (l_in - l_out) * da / (w * h)
+        np.testing.assert_allclose(
+            g[axis], expect, rtol=0.05, atol=3e-6,
+            err_msg=f"axis {axis}: estimator {g[axis]} vs oracle {expect}")
+
+
+def test_box_camera_gradient_duality():
+    """With a uniform emissive wall, moving the camera equals moving the
+    cube by the negative delta (cube edges are fixed on the body; only the
+    projection moves)."""
+    from ai_path_tracer_denoiser_tpu.render.edge_grad import (
+        camera_translation_gradient)
+    scene = _box_scene()
+    g_cam = np.asarray(camera_translation_gradient(
+        scene, OPTS, geom_indices=(BOX,), n_edge=512, spp=2))
+    g_obj = np.asarray(translation_gradient(scene, OPTS, BOX, n_edge=512,
+                                            spp=2, include_interior=False))
+    np.testing.assert_allclose(g_cam, -g_obj, rtol=0.03, atol=3e-6)
+
+
 def test_camera_translation_gradient():
     """Camera-translation boundary term vs the shoelace area oracle, plus
     the world/camera duality: with a uniform wall (no other moving edges),
