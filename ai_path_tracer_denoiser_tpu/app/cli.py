@@ -141,6 +141,20 @@ def cmd_interactive(args):
         server = PreviewServer(port=args.serve,
                                host=args.serve_host)
         print(f"live preview at http://localhost:{server.port}/")
+    def _emit(frame, denoised, t0):
+        # The device->host fetch of frame i-1 runs while frame i's trace +
+        # denoise execute (jax dispatch is async): over a tunneled TPU a
+        # readback costs a full RTT, which this one-frame pipeline hides.
+        out = np.clip(np.asarray(denoised[0]), 0, 1)
+        dt = time.time() - t0
+        if server is not None:
+            server.push(out)
+        path = save_png_scaled(
+            os.path.join(args.out_dir, f"frame_{frame:04d}"), out)
+        print(f"frame {frame}: {dt * 1e3:.1f} ms -> {path}")
+
+    pending = None
+    t_loop = time.time()
     for frame in range(args.frames):
         cam = orbit_camera(scene.camera, phi + args.dphi * frame, theta, zoom)
         fscene = dataclasses.replace(scene, camera=cam)
@@ -148,12 +162,15 @@ def cmd_interactive(args):
         _, gbuffer, _ = render_gbuffer_frame(fscene, options)
         x = jnp.moveaxis(gbuffer, 0, -1)[None]       # (1, H, W, 10)
         denoised, hidden = denoise(x, hidden)
-        out = np.clip(np.asarray(denoised[0]), 0, 1)
-        dt = time.time() - t0
-        if server is not None:
-            server.push(out)
-        path = save_png_scaled(os.path.join(args.out_dir, f"frame_{frame:04d}"), out)
-        print(f"frame {frame}: {dt * 1e3:.1f} ms -> {path}")
+        if pending is not None:
+            _emit(*pending)
+        pending = (frame, denoised, t0)
+    if pending is not None:
+        _emit(*pending)
+    if args.frames > 1:
+        avg = (time.time() - t_loop) / args.frames
+        print(f"{args.frames} frames, {avg * 1e3:.1f} ms/frame sustained "
+              f"({1.0 / avg:.1f} fps)")
 
 
 def cmd_datagen(args):
