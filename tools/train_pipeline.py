@@ -97,7 +97,7 @@ def stage_train(args):
     mopt = (ModelOptions.tpu_friendly() if args.tpu_friendly
             else ModelOptions())
     state = init_train_state(jax.random.PRNGKey(0), mopt, topt)
-    model_dir = os.path.join(args.out, "models")
+    model_dir = os.path.join(args.out, args.models_subdir)
     if args.resume:
         ckpt = latest_checkpoint(model_dir)
         if ckpt:
@@ -111,7 +111,9 @@ def stage_train(args):
     start_epoch = int(state.step) // steps_per_epoch
     print(f"[train] {len(dataset)} windows, batch {args.batch}, "
           f"epochs {start_epoch}..{args.epochs}, widths {mopt.widths}")
-    logger = MetricsLogger(os.path.join(args.out, "logs"))
+    logger = MetricsLogger(os.path.join(
+        args.out, args.models_subdir.replace("models", "logs")
+        if args.models_subdir != "models" else "logs"))
     state = fit(state,
                 lambda epoch: sequence_batches(dataset,
                                                batch_size=args.batch,
@@ -189,10 +191,11 @@ def stage_eval(args):
     try:
         from PIL import Image
         frames = [Image.fromarray(fr) for g in gifs for fr in g]
-        frames[0].save(os.path.join(REPO, "artifacts", "eval_unseen.gif"),
+        frames[0].save(os.path.join(REPO, "artifacts",
+                                    args.prefix + "eval_unseen.gif"),
                        save_all=True, append_images=frames[1:],
                        duration=160, loop=0)
-        print("[eval] wrote artifacts/eval_unseen.gif")
+        print(f"[eval] wrote artifacts/{args.prefix}eval_unseen.gif")
     except ImportError:
         pass
     return per_scene
@@ -204,7 +207,9 @@ def stage_report(args, per_scene):
     import matplotlib.pyplot as plt
 
     # loss curves from JSONL
-    path = os.path.join(args.out, "logs", "metrics.jsonl")
+    path = os.path.join(args.out, args.models_subdir.replace("models", "logs")
+                        if args.models_subdir != "models" else "logs",
+                        "metrics.jsonl")
     steps, totals, l1s, hfens, temps = [], [], [], [], []
     with open(path) as f:
         for line in f:
@@ -226,13 +231,13 @@ def stage_report(args, per_scene):
     ax.legend()
     ax.set_title("denoiser training (multi-scene)")
     fig.tight_layout()
-    curve = os.path.join(REPO, "artifacts", "loss_curve.png")
+    curve = os.path.join(REPO, "artifacts", args.prefix + "loss_curve.png")
     fig.savefig(curve, dpi=120)
     print(f"[report] wrote {curve}")
 
     mses = [r["mse_denoised"] for r in per_scene.values()]
     noisy = [r["mse_noisy"] for r in per_scene.values()]
-    card = os.path.join(REPO, "artifacts", "MODEL_CARD.md")
+    card = os.path.join(REPO, "artifacts", args.prefix + "MODEL_CARD.md")
     with open(card, "w") as f:
         f.write(f"""# {args.artifact}
 
@@ -280,6 +285,12 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--crop", type=int, default=256)
     ap.add_argument("--tpu-friendly", action="store_true")
+    ap.add_argument("--prefix", default="",
+                    help="filename prefix for artifacts/ outputs (second "
+                         "widths variant keeps its own card/curves/gif)")
+    ap.add_argument("--models-subdir", default="models",
+                    help="checkpoint dir under --out (lets a second widths "
+                         "variant train off the same datagen)")
     ap.add_argument("--artifact", default="denoiser_multiscene.npz")
     ap.add_argument("--render-backend", default="xla")
     ap.add_argument("--resume", action="store_true")
