@@ -253,6 +253,164 @@ def polygon_points(verts: jnp.ndarray, phis: jnp.ndarray) -> jnp.ndarray:
     return a + (b - a) * f[:, None]
 
 
+# ---------------------------------------------------------------------------
+# Mesh silhouette geometry
+# ---------------------------------------------------------------------------
+
+def mesh_silhouette_segments(mesh, cam_pos):
+    """Silhouette edge segments of a triangle mesh seen from ``cam_pos``.
+
+    Returns numpy arrays (P, Q, W): segment endpoints (E, 3) and, per
+    segment, the front-facing adjacent triangle's third vertex (E, 3) —
+    an 'inward witness' whose projection marks the object side of the
+    edge (the projected surface folds back there), used to orient the
+    image-space outward normal per edge.  Unlike a sphere/box the mesh
+    silhouette need not be one convex loop, so a global-centroid
+    orientation would be wrong.
+
+    An interior edge (two adjacent faces) is on the silhouette iff its
+    faces differ in front-facing-ness (geometric normals); a boundary
+    edge of an open mesh is on it iff its single face is front-facing.
+    """
+    import numpy as np
+    V = np.asarray(mesh.vertices)[:mesh.num_faces].astype(np.float64)
+    cam = np.asarray(cam_pos, np.float64)
+    n = np.cross(V[:, 1] - V[:, 0], V[:, 2] - V[:, 0])
+    cent = V.mean(axis=1)
+    front = np.einsum("fk,fk->f", n, cam[None] - cent) > 0
+
+    def vkey(v):
+        return tuple(np.round(v * 4096.0).astype(np.int64))
+
+    edges: dict = {}
+    for f in range(V.shape[0]):
+        for i in range(3):
+            a, b = V[f, i], V[f, (i + 1) % 3]
+            k = tuple(sorted((vkey(a), vkey(b))))
+            edges.setdefault(k, []).append((f, i))
+    P, Q, W = [], [], []
+
+    def emit(f, i):
+        P.append(V[f, i])
+        Q.append(V[f, (i + 1) % 3])
+        W.append(V[f, (i + 2) % 3])
+
+    for faces in edges.values():
+        if len(faces) == 1:
+            f, i = faces[0]
+            if front[f]:
+                emit(f, i)
+        else:
+            (f1, i1), (f2, i2) = faces[0], faces[1]
+            if front[f1] != front[f2]:
+                emit(*(faces[0] if front[f1] else faces[1]))
+    if not P:
+        raise ValueError("mesh has no visible silhouette from this viewpoint")
+    return (np.stack(P).astype(np.float32), np.stack(Q).astype(np.float32),
+            np.stack(W).astype(np.float32))
+
+
+def _segment_boundary_term(scene: Scene, options: RenderOptions,
+                           uv_fn, inward_uv: jnp.ndarray,
+                           n_edges: int, samples_per_edge: int,
+                           spp: int, eps_px: float,
+                           lane_salt: int = 0) -> jnp.ndarray:
+    """Boundary integral over E straight silhouette segments:
+    sum_e  int_0^1 (L_in - L_out)(v . n_out) |du/dt| dt.
+
+    ``uv_fn(delta, t)`` maps a (3,) parameter offset and per-sample
+    fractions t (E*S,) to image points (E*S, 2) — sample i lies on segment
+    i // S at fraction t[i].  ``inward_uv`` (E*S, 2) are projected witness
+    points on the object side of each edge; the outward normal is the
+    tangent perpendicular oriented away from them.
+    """
+    cam = scene.camera
+    w, h = cam.resolution
+    s = samples_per_edge
+    ts = jnp.tile((jnp.arange(s) + 0.5) / s, n_edges)        # (E*S,)
+    zero = jnp.zeros((3,))
+
+    uv = uv_fn(zero, ts)                                     # (E*S, 2)
+    vel = jax.jacfwd(lambda d: uv_fn(d, ts))(zero)           # (E*S, 2, 3)
+    # sample i depends only on t[i] -> the jacobian diagonal is one jvp
+    tang = jax.jvp(lambda t: uv_fn(zero, t), (ts,),
+                   (jnp.ones_like(ts),))[1]                  # (E*S, 2)
+    ds = jnp.linalg.norm(tang, axis=-1)
+    n_img = jnp.stack([tang[:, 1], -tang[:, 0]], axis=-1)
+    n_img = n_img / jnp.maximum(jnp.linalg.norm(n_img, axis=-1,
+                                                keepdims=True), 1e-12)
+    toward_obj = jnp.sum((inward_uv - uv) * n_img, axis=-1)
+    n_img = jnp.where(toward_obj[:, None] > 0, -n_img, n_img)
+
+    o_in, d_in = rays_through_pixels(cam, uv - eps_px * n_img)
+    o_out, d_out = rays_through_pixels(cam, uv + eps_px * n_img)
+    l_in = mean_radiance(scene, options, o_in, d_in, spp,
+                         lane_offset=lane_salt)
+    l_out = mean_radiance(scene, options, o_out, d_out, spp,
+                          lane_offset=lane_salt + (1 << 20))
+    ldiff = (l_in.x + l_in.y + l_in.z - l_out.x - l_out.y - l_out.z) / 3.0
+
+    inside = ((uv[:, 0] >= 0) & (uv[:, 0] <= w)
+              & (uv[:, 1] >= 0) & (uv[:, 1] <= h))
+    weight = jnp.where(inside, ldiff * ds, 0.0)
+    vn = jnp.einsum("nkd,nk->nd", vel, n_img)
+    return (weight[:, None] * vn).sum(0) / (s * w * h)
+
+
+def translate_mesh(mesh, delta: jnp.ndarray):
+    """MeshData with every vertex (and the AABB) moved by ``delta``.
+
+    Only brute-force-scan meshes are supported (``bvh is None``); a BVH's
+    node bounds would need rebuilding.
+    """
+    if getattr(mesh, "bvh", None) is not None:
+        raise ValueError("translate_mesh does not rebuild a BVH; use a "
+                         "scan-path mesh (below the BVH knee)")
+    return dataclasses.replace(
+        mesh, vertices=mesh.vertices + delta[None, None, :],
+        aabb_lb=mesh.aabb_lb + delta, aabb_ub=mesh.aabb_ub + delta)
+
+
+def mesh_translation_gradient(scene: Scene, options: RenderOptions, *,
+                              samples_per_edge: int = 8, spp: int = 128,
+                              eps_px: float = 0.75,
+                              include_interior: bool = True) -> jnp.ndarray:
+    """d(mean image)/d(translation of the scene's mesh) — a (3,) vector.
+
+    Mesh vertices are pre-transformed world space (scene.cpp:266-318), so
+    a mesh translation adds delta to every vertex; the silhouette segments
+    ride along rigidly.
+    """
+    cam = scene.camera
+    p_np, q_np, w_np = mesh_silhouette_segments(scene.mesh,
+                                                jnp.asarray(cam.position))
+    P, Q = jnp.asarray(p_np), jnp.asarray(q_np)
+    n_edges = P.shape[0]
+    s = samples_per_edge
+    wit = jnp.repeat(jnp.asarray(w_np), s, axis=0)
+
+    def uv_fn(delta, t):
+        a = jnp.repeat(P, s, axis=0)
+        b = jnp.repeat(Q, s, axis=0)
+        x = a + (b - a) * t[:, None] + delta
+        return project_to_pixels(x, cam)
+
+    inward_uv = project_to_pixels(wit, cam)
+    boundary = _segment_boundary_term(scene, options, uv_fn, inward_uv,
+                                      n_edges, s, spp, eps_px)
+    if not include_interior:
+        return boundary
+
+    def j_interior(delta):
+        sc = dataclasses.replace(scene,
+                                 mesh=translate_mesh(scene.mesh, delta))
+        state = trace_iteration(sc, options, init_render_state(sc),
+                                differentiable=True)
+        return jnp.mean(jnp.stack(list(state.accum)))
+
+    return boundary + jax.grad(j_interior)(jnp.zeros((3,)))
+
+
 def sphere_world_radius(geoms: Geoms, index: int) -> float:
     """Reference spheres are radius-0.5 unit spheres scaled by SCALE
     (intersections.h:112); uniform scale required for an exact circle."""

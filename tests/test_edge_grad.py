@@ -286,6 +286,72 @@ def test_box_camera_gradient_duality():
     np.testing.assert_allclose(g_cam, -g_obj, rtol=0.03, atol=3e-6)
 
 
+MESH_SCENE_TEXT = SCENE_TEXT.replace(
+    """OBJECT 1
+sphere
+material 1
+TRANS       1.2 0.4 0
+ROTAT       0 0 0
+SCALE       2 2 2
+""",
+    """MESH 0
+PATH        assets/icosahedron.obj
+material 1
+TRANS       1.2 0.4 0
+ROTAT       15 30 0
+SCALE       1.8 1.8 1.8
+""")
+
+
+def _mesh_scene():
+    import os
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return parse_scene_text(MESH_SCENE_TEXT, base_dir=repo)
+
+
+def test_mesh_silhouette_segments_geometry():
+    """Silhouette segments of a watertight icosahedron: endpoints are mesh
+    vertices, every segment separates a front from a back face, and the
+    count is plausible for a convex 20-face solid."""
+    from ai_path_tracer_denoiser_tpu.render.edge_grad import (
+        mesh_silhouette_segments)
+    scene = _mesh_scene()
+    assert scene.mesh.bvh is None        # scan path, translate_mesh works
+    P, Q, W = mesh_silhouette_segments(scene.mesh,
+                                       np.asarray(scene.camera.position))
+    assert 6 <= P.shape[0] <= 12         # convex solid: one loop of edges
+    verts = np.asarray(scene.mesh.vertices)[:scene.mesh.num_faces].reshape(-1, 3)
+    for pt in np.concatenate([P, Q]):
+        assert np.min(np.linalg.norm(verts - pt[None], axis=1)) < 1e-4
+
+
+def test_mesh_translation_gradient_matches_rendered_fd():
+    """Boundary estimator for the mesh matches finite differences of the
+    rendered mean image (x and z axes)."""
+    from ai_path_tracer_denoiser_tpu.render.edge_grad import (
+        mesh_translation_gradient, translate_mesh)
+    scene = _mesh_scene()
+    opts = RenderOptions(antialias=True)
+    g = np.asarray(mesh_translation_gradient(scene, opts,
+                                             samples_per_edge=48, spp=2,
+                                             eps_px=0.75))
+
+    def j(delta):
+        s = dataclasses.replace(scene,
+                                mesh=translate_mesh(scene.mesh,
+                                                    jnp.asarray(delta)))
+        img, _, _ = render(s, opts, num_iterations=160)
+        return float(jnp.mean(img))
+
+    for axis, step in ((0, 0.15), (2, 0.15)):
+        d = np.zeros(3)
+        d[axis] = step
+        fd = (j(d) - j(-d)) / (2 * step)
+        np.testing.assert_allclose(
+            g[axis], fd, rtol=0.12, atol=3e-6,
+            err_msg=f"mesh axis {axis}: estimator {g[axis]} vs FD {fd}")
+
+
 def test_camera_translation_gradient():
     """Camera-translation boundary term vs the shoelace area oracle, plus
     the world/camera duality: with a uniform wall (no other moving edges),
