@@ -259,7 +259,10 @@ def cmd_train(args):
 
         from ..train.schedule import step_lr
         step_count = int(state.step)
-        for epoch in range(args.epochs):
+        # Resume mid-campaign: restart at the epoch the checkpoint left off
+        # so StepLR continues from the decayed rate instead of the base LR.
+        steps_per_epoch = max(1, len(dataset) // n_dev)
+        for epoch in range(step_count // steps_per_epoch, args.epochs):
             lr = step_lr(topt.lr, epoch, topt.lr_step_epochs, topt.lr_gamma)
             state = dc.replace(state, lr=jnp.asarray(lr, jnp.float32))
             for i, (x, y) in enumerate(sequence_batches(
@@ -276,10 +279,16 @@ def cmd_train(args):
                 save_checkpoint(args.model_dir, state, epoch)
         save_checkpoint(args.model_dir, state, "final")
     else:
+        # epoch-aware iterator (fresh shuffle + crop stream per epoch) and
+        # resume-aware start_epoch (StepLR continues from the decayed rate)
+        steps_per_epoch = max(1, len(dataset) // topt.batch_size)
         fit(state,
-            lambda: sequence_batches(dataset, batch_size=topt.batch_size),
+            lambda epoch: sequence_batches(dataset, batch_size=topt.batch_size,
+                                           seed=epoch),
             topt, epochs=args.epochs, logger=logger,
-            checkpoint_fn=lambda s, e: save_checkpoint(args.model_dir, s, e))
+            checkpoint_fn=lambda s, e: save_checkpoint(args.model_dir, s, e),
+            model_options=mopt,
+            start_epoch=int(state.step) // steps_per_epoch)
 
 
 def cmd_eval(args):
@@ -296,10 +305,14 @@ def cmd_eval(args):
 
     if args.model.endswith(".npz") and "model_" in os.path.basename(args.model):
         from ..config import TrainOptions
+        from ..models import model_options_from_params
         template = init_train_state(jax.random.PRNGKey(0))
         state = load_checkpoint(args.model, template)
         params, bn_state = state.params, state.bn_state
-        mopts = ModelOptions()
+        # widths come from the checkpoint's own shapes (a tpu_friendly
+        # checkpoint evaluated with hardcoded defaults would crash on the
+        # hidden/width concat)
+        mopts = model_options_from_params(params)
     else:
         params, bn_state, meta = load_model(args.model)
         from ..models import model_options_from_meta
@@ -341,15 +354,16 @@ def cmd_export(args):
     """Checkpoint -> deployable artifact (convert_to_torchscript.py analogue)."""
     import jax
 
-    from ..config import ModelOptions
-    from ..models import save_model
+    from ..models import model_options_from_params, save_model
     from ..train import init_train_state, load_checkpoint
-    mopt = (ModelOptions.tpu_friendly() if getattr(args, "tpu_friendly",
-                                                   False) else ModelOptions())
-    template = init_train_state(jax.random.PRNGKey(0), mopt)
+    # The template only supplies the opt_state tree *structure* (identical
+    # for every channel plan); params/bn_state come wholly from the file,
+    # and the exported widths metadata is derived from their shapes.
+    template = init_train_state(jax.random.PRNGKey(0))
     state = load_checkpoint(args.checkpoint, template)
+    mopt = model_options_from_params(state.params)
     save_model(args.out, state.params, state.bn_state, options=mopt)
-    print(f"exported {args.out}")
+    print(f"exported {args.out} (widths {mopt.widths})")
 
 
 def cmd_bench(args):
@@ -481,8 +495,6 @@ def main(argv=None):
     sp = sub.add_parser("export", help="checkpoint -> deployable .npz")
     sp.add_argument("checkpoint")
     sp.add_argument("--out", default="model_deploy.npz")
-    sp.add_argument("--tpu-friendly", action="store_true",
-                    help="checkpoint uses ModelOptions.tpu_friendly() widths")
     sp.set_defaults(fn=cmd_export)
 
     sp = sub.add_parser("bench", help="per-scene timing harness")

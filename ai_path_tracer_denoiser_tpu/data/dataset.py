@@ -53,7 +53,7 @@ class SequenceDataset:
     def __init__(self, input_dir: str, gt_dir: str, m: Optional[np.ndarray] = None,
                  sequence_length: int = 7, crop: bool = False,
                  crop_size: int = 256, seed: int = 0,
-                 cache_gb: float = 48.0):
+                 cache_gb: Optional[float] = None):
         self.input_dir = input_dir
         self.gt_dir = gt_dir
         in_keys, self.inputs = _scan_frames(input_dir)
@@ -74,9 +74,16 @@ class SequenceDataset:
         # hosts (observed ~2.5 s/step vs a ~0.3 s device step at batch 8).
         # Frames are cached on first touch up to ``cache_gb``; a 28-scene
         # 512^2 campaign (~18 GB) fits, so epoch 2+ is pure array slicing.
-        # Set cache_gb=0 to force mmap-only access.
+        # Set cache_gb=0 to force mmap-only access; the default caps at half
+        # of physical RAM so a dataset larger than the host can't OOM it.
         self._cache: dict = {}
         self._cache_bytes = 0
+        if cache_gb is None:
+            try:
+                phys = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+                cache_gb = min(48.0, 0.5 * phys / 2 ** 30)
+            except (ValueError, OSError, AttributeError):
+                cache_gb = 8.0
         self._cache_cap = int(cache_gb * 2 ** 30)
         # Per-(scene, mov, noise) frame range.  The reference clamps windows
         # with `start = m[...] - 6` (dataloader.py:48-49) — a *frame number*
@@ -126,7 +133,9 @@ class SequenceDataset:
             return arr
         return np.load(path, mmap_mode="r")
 
-    def __getitem__(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
+    def __getitem__(self, index: int,
+                    rng: Optional[np.random.Generator] = None
+                    ) -> Tuple[np.ndarray, np.ndarray]:
         s, mv, nz, frame = self._keys[index]
         key = (s, mv, nz)
         first, last = self._group_min[key], self._group_max[key]
@@ -143,9 +152,17 @@ class SequenceDataset:
         if self.crop:
             probe = self._frame(self.input_dir, self.inputs[start])
             h, w = probe.shape[:2]
-            with self._lock:     # Generator is not thread-safe (prefetch pool)
-                cy = int(self.rng.integers(h // self.crop_size)) * self.crop_size
-                cx = int(self.rng.integers(w // self.crop_size)) * self.crop_size
+            if rng is None:
+                # Shared-generator fallback: draws depend on call order, so
+                # under the prefetch pool callers should pass a per-item rng
+                # (sequence_batches does) to keep crops run-reproducible.
+                with self._lock:   # Generator is not thread-safe
+                    rng = self.rng
+                    cy = int(rng.integers(h // self.crop_size)) * self.crop_size
+                    cx = int(rng.integers(w // self.crop_size)) * self.crop_size
+            else:
+                cy = int(rng.integers(h // self.crop_size)) * self.crop_size
+                cx = int(rng.integers(w // self.crop_size)) * self.crop_size
             sl = (slice(cy, cy + self.crop_size), slice(cx, cx + self.crop_size))
         xs, ys = [], []
         for i in range(start, start + self.T):
@@ -177,7 +194,12 @@ def sequence_batches(dataset: SequenceDataset, batch_size: int = 1,
               for i in range(n_batches)]
 
     def assemble(idxs):
-        pairs = [dataset[int(i)] for i in idxs]
+        # Per-item RNG keyed on (seed, item): crop choices are identical
+        # across runs regardless of thread scheduling in the prefetch pool,
+        # and still vary per epoch (fit() passes seed=epoch).
+        pairs = [dataset.__getitem__(
+            int(i), rng=np.random.default_rng([seed, int(i)]))
+            for i in idxs]
         return (np.stack([p[0] for p in pairs], axis=1),
                 np.stack([p[1] for p in pairs], axis=1))
 

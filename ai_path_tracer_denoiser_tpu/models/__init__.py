@@ -6,7 +6,8 @@ from .autoencoder import (  # noqa: F401
     param_count,
 )
 from .export import (save_model, load_model,  # noqa: F401
-                     model_options_from_meta)  # noqa: F401
+                     model_options_from_meta,  # noqa: F401
+                     model_options_from_params)  # noqa: F401
 from .inference import (  # noqa: F401
     apply_frame_fast,
     apply_sequence_fast,

@@ -76,6 +76,21 @@ def load_model(path: str) -> Tuple[Any, Any, Dict[str, Any]]:
     return params, bn_state, meta
 
 
+def model_options_from_params(params, norm: str = "batch"):
+    """Derive ModelOptions from parameter shapes.
+
+    The checkpoint itself is the source of truth for the channel plan —
+    trusting a CLI flag instead writes wrong metadata that crashes
+    ``init_hidden`` far from the cause.  ``norm`` is not recoverable from
+    shapes (batch/group share the same scale/bias tree) so it stays a
+    parameter.
+    """
+    from ..config import ModelOptions
+    widths = tuple(int(params[f"enc{i}"]["conv1"]["w"].shape[-1])
+                   for i in range(1, 6))
+    return ModelOptions(widths=widths, norm=norm)
+
+
 def model_options_from_meta(meta: Dict[str, Any]):
     """Reconstruct the ModelOptions a checkpoint was trained with.
 

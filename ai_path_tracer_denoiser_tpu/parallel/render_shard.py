@@ -39,6 +39,22 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map as _shard_map
 
 _FN_CACHE: dict = {}
+_FN_CACHE_CAP = 64
+
+
+def _cache_get(key):
+    """LRU get: move the hit to the back so eviction drops the coldest
+    entry (XLA and Pallas executables share one bounded cache)."""
+    fn = _FN_CACHE.pop(key, None)
+    if fn is not None:
+        _FN_CACHE[key] = fn
+    return fn
+
+
+def _cache_put(key, fn):
+    if len(_FN_CACHE) >= _FN_CACHE_CAP:
+        _FN_CACHE.pop(next(iter(_FN_CACHE)))
+    _FN_CACHE[key] = fn
 
 
 def render_sharded(scene: Scene, options: RenderOptions,
@@ -86,7 +102,7 @@ def _xla_fn(mesh: Mesh, options: RenderOptions, num_iterations: int,
             tile: int):
     """Cached jitted shard_map over the XLA wavefront loop."""
     key = ("xla", mesh, options, num_iterations, tile)
-    fn = _FN_CACHE.get(key)
+    fn = _cache_get(key)
     if fn is not None:
         return fn
 
@@ -106,7 +122,7 @@ def _xla_fn(mesh: Mesh, options: RenderOptions, num_iterations: int,
         check_vma=False,
     )
     fn = jax.jit(smapped)
-    _FN_CACHE[key] = fn
+    _cache_put(key, fn)
     return fn
 
 
@@ -132,7 +148,7 @@ def _pallas_fn(scene: Scene, options: RenderOptions, num_iterations: int,
 
     key = ("pallas", _scene_fingerprint(scene), options, num_iterations,
            mesh, tile, interpret)
-    fn = _FN_CACHE.get(key)
+    fn = _cache_get(key)
     if fn is not None:
         return fn
 
@@ -154,9 +170,7 @@ def _pallas_fn(scene: Scene, options: RenderOptions, num_iterations: int,
         check_vma=False,
     )
     fn = jax.jit(smapped)
-    if len(_FN_CACHE) >= 64:
-        _FN_CACHE.pop(next(iter(_FN_CACHE)))
-    _FN_CACHE[key] = fn
+    _cache_put(key, fn)
     return fn
 
 

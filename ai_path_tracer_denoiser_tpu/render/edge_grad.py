@@ -360,15 +360,26 @@ def _segment_boundary_term(scene: Scene, options: RenderOptions,
 def translate_mesh(mesh, delta: jnp.ndarray):
     """MeshData with every vertex (and the AABB) moved by ``delta``.
 
-    Only brute-force-scan meshes are supported (``bvh is None``); a BVH's
-    node bounds would need rebuilding.
+    A pure translation is rigid, so an attached BVH shifts exactly: vertex
+    columns of ``faces_packed`` and the lb/ub columns of every bounds level
+    move by ``delta`` (normals and the tree topology are unchanged; padding
+    nodes keep their inverted can't-hit boxes).  No rebuild needed.
     """
-    if getattr(mesh, "bvh", None) is not None:
-        raise ValueError("translate_mesh does not rebuild a BVH; use a "
-                         "scan-path mesh (below the BVH knee)")
+    delta = jnp.asarray(delta, jnp.float32)
+    bvh = getattr(mesh, "bvh", None)
+    if bvh is not None:
+        d9 = jnp.tile(delta, 3)              # v0 v1 v2 xyz columns 0-8
+        d6 = jnp.concatenate([delta, delta])  # lb xyz | ub xyz columns 0-5
+        bvh = dataclasses.replace(
+            bvh,
+            faces_packed=bvh.faces_packed.at[:, 0:9].add(d9[None, :]),
+            cluster_bounds=bvh.cluster_bounds.at[:, 0:6].add(d6[None, :]),
+            super_bounds=bvh.super_bounds.at[:, 0:6].add(d6[None, :]),
+            hyper_bounds=bvh.hyper_bounds.at[:, 0:6].add(d6[None, :]))
     return dataclasses.replace(
         mesh, vertices=mesh.vertices + delta[None, None, :],
-        aabb_lb=mesh.aabb_lb + delta, aabb_ub=mesh.aabb_ub + delta)
+        aabb_lb=mesh.aabb_lb + delta, aabb_ub=mesh.aabb_ub + delta,
+        bvh=bvh)
 
 
 def mesh_translation_gradient(scene: Scene, options: RenderOptions, *,

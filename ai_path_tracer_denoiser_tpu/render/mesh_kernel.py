@@ -233,6 +233,11 @@ def mesh_intersect_bvh(bvh: MeshBVH, o: Vec3, d: Vec3,
     so pruning hits >= t_cull is exact).  Use -inf to skip a ray entirely
     (dead lanes), +inf (default) for an unbounded query.
     """
+    if bvh.num_faces > MAX_KERNEL_FACES:
+        raise ValueError(
+            f"mesh has {bvh.num_faces} faces > MAX_KERNEL_FACES="
+            f"{MAX_KERNEL_FACES}: the VMEM-resident bounds tables would "
+            "blow the budget (raise the cap only with a deeper hierarchy)")
     n = o.x.shape[0]
     n_tiles = -(-n // LANES)
     pad = n_tiles * LANES - n

@@ -158,3 +158,30 @@ def test_render_bvh_matches_scan_image():
                             num_iterations=2)
     assert np.array_equal(np.asarray(img_bvh), np.asarray(img_scan))
     assert float(np.asarray(img_bvh).mean()) > 0.01   # non-trivial image
+
+
+def test_translate_mesh_shifts_bvh_rigidly():
+    """translate_mesh on a BVH mesh (the default past BVH_MIN_FACES) must
+    not raise, and the shifted BVH kernel must agree bitwise with the scan
+    over the shifted vertices — the property mesh_translation_gradient's
+    interior term relies on (render/edge_grad.py translate_mesh)."""
+    from ai_path_tracer_denoiser_tpu.render.edge_grad import translate_mesh
+
+    verts, norms, mats = _soup(400, seed=3)
+    mesh = make_mesh(verts, norms, mats)          # auto-BVH (400 > 65)
+    assert mesh.bvh is not None
+    delta = jnp.asarray([0.37, -1.21, 0.58], jnp.float32)
+    moved = translate_mesh(mesh, delta)
+    assert moved.bvh is not None
+    # vertices and faces_packed moved consistently
+    assert np.array_equal(
+        np.asarray(moved.vertices[:400]).reshape(400, 9),
+        np.asarray(moved.bvh.faces_packed[:400, 0:9]))
+    # monotone rounding keeps shifted bounds containing shifted faces, so
+    # kernel-vs-scan stays bitwise (t, material) on the moved mesh
+    ov, dv = _rays(512, seed=9)
+    t_ref, _, _, m_ref = mesh_intersect_v(moved, ov, dv)
+    t_k, _, _, m_k = mesh_intersect_bvh(moved.bvh, ov, dv, interpret=True)
+    assert np.array_equal(np.asarray(t_ref), np.asarray(t_k))
+    assert np.array_equal(np.asarray(m_ref), np.asarray(m_k))
+    assert np.isfinite(np.asarray(t_k)).any()

@@ -115,3 +115,16 @@ def test_export_roundtrip(tmp_path):
     assert meta["widths"] == list(OPTS.widths)
     y2, _, _ = apply_frame(p2, s2, x, hidden)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-6)
+
+
+def test_model_options_from_params_derives_widths():
+    """Export/eval derive the channel plan from checkpoint shapes — a
+    tpu_friendly checkpoint exported or evaluated without any flag gets the
+    right widths metadata (r2 review finding)."""
+    import jax
+
+    from ai_path_tracer_denoiser_tpu.models import (init_autoencoder,
+                                                    model_options_from_params)
+    for opts in (ModelOptions(), ModelOptions.tpu_friendly()):
+        params, _ = init_autoencoder(jax.random.PRNGKey(0), opts)
+        assert model_options_from_params(params).widths == opts.widths

@@ -251,7 +251,7 @@ Recurrent denoising autoencoder trained end-to-end inside this framework
   {args.eval_scenes} unseen scenes (different randomizer seed).
 - **Training**: {args.epochs} epochs, batch {args.batch} x 7-frame BPTT,
   256^2 aligned crops, Adam 1e-3 + StepLR(25, 0.2), bf16 conv compute.
-- **Loss curves**: `artifacts/loss_curve.png`; raw JSONL in the run dir.
+- **Loss curves**: `artifacts/{args.prefix}loss_curve.png`; raw JSONL in the run dir.
 
 ## Held-out scene results (never seen in training)
 
@@ -267,7 +267,7 @@ Recurrent denoising autoencoder trained end-to-end inside this framework
                 f"""| **{np.mean(noisy) / max(np.mean(mses), 1e-12):.1f}x** | | | |
 
 Strips of [noisy input | prediction | ground truth] for every eval scene:
-`artifacts/eval_unseen.gif`.
+`artifacts/{args.prefix}eval_unseen.gif`.
 """)
     print(f"[report] wrote {card}")
 
