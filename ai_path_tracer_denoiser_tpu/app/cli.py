@@ -35,6 +35,20 @@ def _platform_arg(p):
         jax.config.update("jax_platforms", p)
 
 
+def _default_model_path():
+    """Shipped-artifact default for ``interactive`` when --model is absent —
+    the runtime analogue of the reference's compile-time MODEL_PATH
+    (main.cpp:39).  Preference order: multi-scene campaign model, then the
+    Cornell demo checkpoint."""
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    for name in ("denoiser_multiscene.npz", "demo_denoiser_cornell.npz"):
+        path = os.path.join(root, "artifacts", name)
+        if os.path.exists(path):
+            return path
+    return None
+
+
 def _load_scene_scaled(path, res=None):
     from ..scene import load_scene
     from ..scene.camera import derive_camera
@@ -109,8 +123,11 @@ def cmd_interactive(args):
     scene = _load_scene_scaled(args.scene, args.res)
     options = _render_options(args)
     w, h = scene.camera.resolution
-    if args.model and os.path.exists(args.model):
-        params, bn_state, meta = load_model(args.model)
+    model_path = args.model or _default_model_path()
+    if model_path and os.path.exists(model_path):
+        if not args.model:
+            print(f"using default model {model_path}")
+        params, bn_state, meta = load_model(model_path)
         from ..models import model_options_from_meta
         mopts = model_options_from_meta(meta)
     else:
