@@ -138,3 +138,24 @@ def test_sequence_batches_crops_deterministic_across_runs(tmp_path):
         np.testing.assert_array_equal(ya, yb)
     c = run(seed=2)
     assert any(not np.array_equal(xa, xc) for (xa, _), (xc, _) in zip(a, c))
+
+
+def test_psnr_ssim_metrics():
+    """utils/metrics.py sanity: identity gives SSIM 1 / PSNR inf, noise
+    degrades both monotonically, PSNR matches the closed form."""
+    from ai_path_tracer_denoiser_tpu.utils import psnr, ssim
+    rng = np.random.default_rng(0)
+    img = np.clip(rng.normal(0.5, 0.2, (48, 48, 3)), 0, 1)
+    assert ssim(img, img) == 1.0
+    assert psnr(img, img) == float("inf")
+    small = np.clip(img + rng.normal(0, 0.02, img.shape), 0, 1)
+    big = np.clip(img + rng.normal(0, 0.2, img.shape), 0, 1)
+    assert ssim(big, img) < ssim(small, img) < 1.0
+    assert psnr(big, img) < psnr(small, img)
+    mse = np.mean((small.astype(np.float64) - img) ** 2)
+    np.testing.assert_allclose(psnr(small, img), 10 * np.log10(1.0 / mse),
+                               rtol=1e-12)
+    # batch axis averages frames
+    stack = np.stack([img, small])
+    val = ssim(stack, stack.copy())
+    assert val == 1.0

@@ -170,6 +170,7 @@ def stage_eval(args):
         pred = np.asarray(run(jnp.asarray(x)[:, None]))[:, 0]
         pred = np.clip(pred, 0, 1)
         noisy = x[..., 0:3]
+        from ai_path_tracer_denoiser_tpu.utils import psnr, ssim
         rec = {
             "mse_denoised": float(np.mean((pred - y) ** 2)),
             "mse_noisy": float(np.mean((noisy - y) ** 2)),
@@ -177,6 +178,10 @@ def stage_eval(args):
             "hfen_denoised": _hfen(pred, y),
             "temporal_mse": float(np.mean(
                 (np.diff(pred, axis=0) - np.diff(y, axis=0)) ** 2)),
+            "psnr_denoised": psnr(pred, y),
+            "psnr_noisy": psnr(np.clip(noisy, 0, 1), y),
+            "ssim_denoised": ssim(pred, y),
+            "ssim_noisy": ssim(np.clip(noisy, 0, 1), y),
         }
         per_scene[scene_id] = rec
         strip = np.concatenate([noisy, pred, y], axis=2)   # (T, H, 3W, 3)
@@ -255,16 +260,20 @@ Recurrent denoising autoencoder trained end-to-end inside this framework
 
 ## Held-out scene results (never seen in training)
 
-| scene | MSE denoised | MSE noisy 1spp | improvement | L1 | HFEN | temporal MSE |
-|---|---|---|---|---|---|---|
+| scene | MSE denoised | MSE noisy 1spp | improvement | PSNR (vs noisy) | SSIM (vs noisy) | L1 | HFEN | temporal MSE |
+|---|---|---|---|---|---|---|---|---|
 """)
         for sid, r in sorted(per_scene.items()):
+            qual = (f"| {r['psnr_denoised']:.2f} dB ({r['psnr_noisy']:.2f}) "
+                    f"| {r['ssim_denoised']:.4f} ({r['ssim_noisy']:.4f}) "
+                    if "psnr_denoised" in r else "| | ")
             f.write(f"| {sid} | {r['mse_denoised']:.5f} | {r['mse_noisy']:.5f} "
                     f"| {r['mse_noisy'] / max(r['mse_denoised'], 1e-12):.1f}x "
+                    f"{qual}"
                     f"| {r['l1_denoised']:.5f} | {r['hfen_denoised']:.4f} "
                     f"| {r['temporal_mse']:.6f} |\n")
         f.write(f"""| **mean** | **{np.mean(mses):.5f}** | **{np.mean(noisy):.5f}** """
-                f"""| **{np.mean(noisy) / max(np.mean(mses), 1e-12):.1f}x** | | | |
+                f"""| **{np.mean(noisy) / max(np.mean(mses), 1e-12):.1f}x** | | | | | |
 
 Strips of [noisy input | prediction | ground truth] for every eval scene:
 `artifacts/{args.prefix}eval_unseen.gif`.
