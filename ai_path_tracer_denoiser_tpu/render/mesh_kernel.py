@@ -202,7 +202,7 @@ def _mesh_bvh_call(bvh: MeshBVH, rays: jnp.ndarray, interpret: bool):
         in_specs=[
             pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # faces stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),      # faces stay in HBM
             vmem(), vmem(), vmem(),                 # bounds tables
         ],
         out_specs=pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),
