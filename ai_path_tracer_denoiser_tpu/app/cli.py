@@ -287,11 +287,14 @@ def cmd_train(args):
                 xs, ys = shard_batch(jnp.asarray(x), jnp.asarray(y), mesh)
                 state, metrics = dp_step(state, xs, ys)
                 step_count += 1
-                logger.scalars(step_count,
-                               {k: float(v) for k, v in metrics.items()})
+                # sample metrics at the logging cadence with ONE host fetch
+                # (per-step per-scalar float() costs a tunnel RTT each —
+                # same pathology train/trainer.py fit() avoids)
                 if i % 5 == 0:
-                    print(f"epoch {epoch} step {i} total "
-                          f"{float(metrics['total']):.4f}")
+                    m = {k: float(v)
+                         for k, v in jax.device_get(metrics).items()}
+                    logger.scalars(step_count, m)
+                    print(f"epoch {epoch} step {i} total {m['total']:.4f}")
             if epoch % topt.checkpoint_every_epochs == 0:
                 save_checkpoint(args.model_dir, state, epoch)
         save_checkpoint(args.model_dir, state, "final")
