@@ -80,3 +80,44 @@ def test_checkpoint_roundtrip(tmp_path):
     restored2, _ = jax.jit(lambda s, a, b: train_step(s, a, b, TOPT))(restored, x, y)
     assert int(restored2.step) == 2
     assert latest_checkpoint(str(tmp_path)) == path
+
+
+def test_fit_epoch_driver_samples_metrics_and_resumes_schedule():
+    """fit(): epoch-aware iterator gets the epoch index, metrics are
+    sampled at the logging cadence with strictly increasing global step
+    numbers across epochs, checkpoints fire, and start_epoch resumes the
+    StepLR schedule at the decayed rate."""
+    from ai_path_tracer_denoiser_tpu.train import fit
+
+    state = init_train_state(jax.random.PRNGKey(0), SMALL, TOPT)
+    seen_epochs = []
+
+    def data(epoch):
+        seen_epochs.append(epoch)
+        for seed in range(6):
+            yield _batch(t=2, n=1, h=32, w=32, seed=100 * epoch + seed)
+
+    class Cap:
+        def __init__(self):
+            self.steps = []
+
+        def scalars(self, step, m):
+            self.steps.append(step)
+            assert set(m) >= {"total", "l1", "hfen", "temporal"}
+
+    logger = Cap()
+    ckpts = []
+    topt = dataclasses.replace(TOPT, checkpoint_every_epochs=1)
+    state = fit(state, data, topt, epochs=2, logger=logger, log_every=2,
+                checkpoint_fn=lambda s, e: ckpts.append(e),
+                model_options=SMALL)
+    assert seen_epochs == [0, 1]
+    # 6 steps/epoch, sampled at i=0,2,4 -> global steps 1,3,5 then 7,9,11
+    assert logger.steps == [1, 3, 5, 7, 9, 11]
+    assert ckpts == [0, 1, "final"]
+    assert int(state.step) == 12
+    # resume at start_epoch past the LR decay: lr reflects the decayed rate
+    topt2 = dataclasses.replace(topt, lr_step_epochs=1, lr_gamma=0.5)
+    state2 = fit(state, data, topt2, epochs=3, logger=Cap(),
+                 model_options=SMALL, start_epoch=2)
+    np.testing.assert_allclose(float(state2.lr), 1e-3 * 0.25)
