@@ -117,6 +117,12 @@ class SequenceDataset:
     def __len__(self):
         return len(self.inputs)
 
+    def path_of(self, index: int, gt: bool = False) -> str:
+        """Path of frame ``index``'s npy file (input or ground truth)."""
+        if gt:
+            return os.path.join(self.gt_dir, self.outputs[index])
+        return os.path.join(self.input_dir, self.inputs[index])
+
     def _frame(self, directory: str, name: str) -> np.ndarray:
         """A full frame array — RAM-cached up to cache_cap, else mmap."""
         key = (directory, name)
@@ -133,17 +139,24 @@ class SequenceDataset:
             return arr
         return np.load(path, mmap_mode="r")
 
-    def __getitem__(self, index: int,
-                    rng: Optional[np.random.Generator] = None
-                    ) -> Tuple[np.ndarray, np.ndarray]:
+    def window_start(self, index: int) -> int:
+        """Start POSITION of the T-frame window anchored at ``index``.
+
+        Clamped at the end of the (scene, mov, noise) group (validated in
+        __init__: groups are dense with >= T frames, so the whole window
+        stays inside the group) — the reference's end-of-sequence clamp
+        (dataloader.py:48-49) done in positions, not raw frame numbers.
+        """
         s, mv, nz, frame = self._keys[index]
         key = (s, mv, nz)
         first, last = self._group_min[key], self._group_max[key]
-        # clamp the window at the end of this (scene, mov, noise) sequence
-        # (validated in __init__: group is dense with >= T frames, so the
-        # whole window stays inside the group)
         start_frame = min(frame, max(first, last - (self.T - 1)))
-        start = index - (frame - start_frame)
+        return index - (frame - start_frame)
+
+    def __getitem__(self, index: int,
+                    rng: Optional[np.random.Generator] = None
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+        start = self.window_start(index)
         # Crop offsets are drawn BEFORE loading and the files are memory-
         # mapped, so only the cropped window is ever read/copied — a full
         # 512^2 10-channel frame is 10.5 MB but a 256^2 crop is 2.6 MB, and

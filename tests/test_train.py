@@ -121,3 +121,59 @@ def test_fit_epoch_driver_samples_metrics_and_resumes_schedule():
     state2 = fit(state, data, topt2, epochs=3, logger=Cap(),
                  model_options=SMALL, start_epoch=2)
     np.testing.assert_allclose(float(state2.lr), 1e-3 * 0.25)
+
+
+def test_fit_device_data_matches_host_loader(tmp_path):
+    """Device-resident data path: the on-device window/crop assembly
+    reproduces the host loader's batches (same (seed, item) crop keying,
+    same window clamp), and fit_device_data runs the same schedule."""
+    import os
+
+    from ai_path_tracer_denoiser_tpu.data import SequenceDataset, sequence_batches
+    from ai_path_tracer_denoiser_tpu.train import (fit_device_data,
+                                                   load_device_dataset)
+    from ai_path_tracer_denoiser_tpu.train.device_data import _crop_batch
+
+    inp, gt = str(tmp_path / "input"), str(tmp_path / "gt")
+    os.makedirs(inp)
+    os.makedirs(gt)
+    rng = np.random.default_rng(0)
+    for f in range(12):
+        stem = f"0_0_0_{f:04d}.npy"
+        np.save(os.path.join(inp, stem),
+                rng.random((64, 64, 10)).astype(np.float32))
+        np.save(os.path.join(gt, stem),
+                rng.random((64, 64, 3)).astype(np.float32))
+    ds = SequenceDataset(inp, gt, None, crop=True, crop_size=32)
+    X, Y, starts = load_device_dataset(ds, dtype=jnp.float32)
+    assert X.shape == (12, 64, 64, 10) and Y.shape == (12, 64, 64, 3)
+    np.testing.assert_array_equal(
+        np.asarray(X[3]), np.load(os.path.join(inp, "0_0_0_0003.npy")))
+
+    # device crops == host loader batches for the same epoch seed
+    epoch = 5
+    host = list(sequence_batches(ds, batch_size=2, seed=epoch, workers=0))
+    order = np.arange(len(ds))
+    np.random.default_rng(epoch).shuffle(order)
+    for b, (hx, hy) in enumerate(host):
+        idxs = order[b * 2:(b + 1) * 2]
+        cy = np.empty(2, np.int32)
+        cx = np.empty(2, np.int32)
+        for j, item in enumerate(idxs):
+            r = np.random.default_rng([epoch, int(item)])
+            cy[j] = int(r.integers(2)) * 32
+            cx[j] = int(r.integers(2)) * 32
+        dx, dy = _crop_batch(X, Y, jnp.asarray(starts[idxs]),
+                             jnp.asarray(cy), jnp.asarray(cx), 7, 32)
+        np.testing.assert_array_equal(np.asarray(dx), hx)
+        np.testing.assert_array_equal(np.asarray(dy), hy)
+
+    # end-to-end epoch driver
+    topt = dataclasses.replace(TOPT, batch_size=2, crop_size=32,
+                               checkpoint_every_epochs=1)
+    state = init_train_state(jax.random.PRNGKey(0), SMALL, topt)
+    ckpts = []
+    state = fit_device_data(state, ds, topt, epochs=1,
+                            checkpoint_fn=lambda s, e: ckpts.append(e),
+                            model_options=SMALL, data=(X, Y, starts))
+    assert int(state.step) == 6 and ckpts == [0, "final"]

@@ -114,13 +114,24 @@ def stage_train(args):
     logger = MetricsLogger(os.path.join(
         args.out, args.models_subdir.replace("models", "logs")
         if args.models_subdir != "models" else "logs"))
-    state = fit(state,
-                lambda epoch: sequence_batches(dataset,
-                                               batch_size=args.batch,
-                                               seed=epoch),
-                topt, epochs=args.epochs, logger=logger,
-                checkpoint_fn=lambda s, e: save_checkpoint(model_dir, s, e),
-                model_options=mopt, start_epoch=start_epoch)
+    if args.device_data:
+        # Upload the corpus to HBM once and crop on device: no per-step
+        # host->device traffic (the tunnel client leaks host RAM per
+        # transfer — ~1.4 GB/min at batch 8 — and OOMs the host hourly
+        # otherwise; see train/device_data.py).
+        from ai_path_tracer_denoiser_tpu.train import fit_device_data
+        state = fit_device_data(
+            state, dataset, topt, epochs=args.epochs, logger=logger,
+            checkpoint_fn=lambda s, e: save_checkpoint(model_dir, s, e),
+            model_options=mopt, start_epoch=start_epoch)
+    else:
+        state = fit(state,
+                    lambda epoch: sequence_batches(dataset,
+                                                   batch_size=args.batch,
+                                                   seed=epoch),
+                    topt, epochs=args.epochs, logger=logger,
+                    checkpoint_fn=lambda s, e: save_checkpoint(model_dir, s, e),
+                    model_options=mopt, start_epoch=start_epoch)
     # export deployable artifact
     from ai_path_tracer_denoiser_tpu.models.export import save_model
     path = os.path.join(REPO, "artifacts", args.artifact)
@@ -302,6 +313,9 @@ def main():
                          "variant train off the same datagen)")
     ap.add_argument("--artifact", default="denoiser_multiscene.npz")
     ap.add_argument("--render-backend", default="xla")
+    ap.add_argument("--device-data", action="store_true",
+                    help="upload the whole corpus to HBM once and crop "
+                         "on device (no per-step host->device traffic)")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--stages", default="datagen,train,eval,report")
     args = ap.parse_args()
