@@ -49,12 +49,16 @@ def _default_model_path():
     return None
 
 
-def _load_scene_scaled(path, res=None):
+def _load_scene_scaled(path, res=None, res_wh=None):
+    """Load a scene, optionally re-deriving the camera at --res (square)
+    or --res-wh (arbitrary, e.g. 1920x1080 — the renderer has no squareness
+    constraint; the reference asserts square at pathtrace.cu:426)."""
     from ..scene import load_scene
     from ..scene.camera import derive_camera
     scene = load_scene(path)
-    if res is not None and tuple(scene.camera.resolution) != (res, res):
-        cam = derive_camera((res, res), float(scene.camera.fov[1]),
+    target = tuple(res_wh) if res_wh else ((res, res) if res else None)
+    if target is not None and tuple(scene.camera.resolution) != target:
+        cam = derive_camera(target, float(scene.camera.fov[1]),
                             np.asarray(scene.camera.position),
                             np.asarray(scene.camera.look_at),
                             np.asarray(scene.camera.up))
@@ -85,7 +89,7 @@ def cmd_render(args):
     _platform_arg(args.platform)
     from ..render import render
     from ..utils import save_hdr, save_png_scaled
-    scene = _load_scene_scaled(args.scene, args.res)
+    scene = _load_scene_scaled(args.scene, args.res, getattr(args, "res_wh", None))
     options = _render_options(args)
     spp = args.spp or scene.iterations
     t0 = time.time()
@@ -120,7 +124,7 @@ def cmd_interactive(args):
     from ..scene.camera import orbit_camera, orbit_params_from_camera
     from ..utils import save_png_scaled
 
-    scene = _load_scene_scaled(args.scene, args.res)
+    scene = _load_scene_scaled(args.scene, args.res, getattr(args, "res_wh", None))
     options = _render_options(args)
     w, h = scene.camera.resolution
     model_path = args.model or _default_model_path()
@@ -135,19 +139,29 @@ def cmd_interactive(args):
         mopts = ModelOptions()
         params, bn_state = init_autoencoder(jax.random.PRNGKey(0), mopts)
 
+    # Non-/32 resolutions (the 1080p north star: H 1080 -> pad 1088) run
+    # through the pad-and-crop wrapper; hidden lives at the padded size.
+    from ..models.inference import padded_resolution
+    hp, wp = padded_resolution(h, w)
     if args.parity_denoise or mopts.norm != "batch":
         # train-graph eval mode: BN applied from running stats each frame
-        denoise = jax.jit(lambda x, hd: apply_frame(
-            params, bn_state, x, hd, train=False, bf16=True,
-            options=mopts)[:2])
-        hidden = init_hidden(1, h, w, mopts)
+        def _pad_apply(x, hd):
+            x = jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)),
+                        mode="edge") if (hp, wp) != (h, w) else x
+            y, hd, _ = apply_frame(params, bn_state, x, hd, train=False,
+                                   bf16=True, options=mopts)
+            return y[:, :h, :w, :], hd
+        denoise = jax.jit(_pad_apply)
+        hidden = init_hidden(1, hp, wp, mopts)
     else:
         # deployment path: BN folded into the convs, bf16 end-to-end
         # (models/inference.py) — the TorchScript-export analogue
         # (convert_to_torchscript.py) minus the hidden-reset bug.
+        from ..models.inference import apply_frame_fast_padded
         folded = prepare_inference(params, bn_state, mopts)
-        denoise = jax.jit(lambda x, hd: apply_frame_fast(folded, x, hd, mopts))
-        hidden = init_hidden(1, h, w, mopts, dtype=jnp.bfloat16)
+        denoise = jax.jit(lambda x, hd: apply_frame_fast_padded(
+            folded, x, hd, mopts))
+        hidden = init_hidden(1, hp, wp, mopts, dtype=jnp.bfloat16)
     phi, theta, zoom = orbit_params_from_camera(scene.camera)
     os.makedirs(args.out_dir, exist_ok=True)
     server = None
@@ -172,11 +186,33 @@ def cmd_interactive(args):
 
     pending = None
     t_loop = time.time()
+    import math as _math
+    gt_spp = (args.spp or scene.iterations) if args.ground_truth else 1
+    if args.ground_truth:
+        # GROUND_TRUTH mode (main.cpp:40-42, 160-165): hold the camera and
+        # accumulate the scene's full spp budget before the denoiser sees
+        # the frame — the reference's denoise-vs-converged comparison flow.
+        print(f"ground-truth mode: {gt_spp} spp per frame")
     for frame in range(args.frames):
-        cam = orbit_camera(scene.camera, phi + args.dphi * frame, theta, zoom)
+        if frame:
+            phi += args.dphi
+        if server is not None:
+            # user orbit input from the preview page (the mouse/key
+            # callbacks' headless analogue, main.cpp:169-223)
+            cam_in = server.pop_camera()
+            phi = cam_in.get("phi", phi) + cam_in.get("dphi", 0.0)
+            theta = cam_in.get("theta", theta) + cam_in.get("dtheta", 0.0)
+            zoom = cam_in.get("zoom", zoom) + cam_in.get("dzoom", 0.0)
+            theta = min(max(theta, 1e-3), _math.pi - 1e-3)
+            zoom = max(zoom, 0.1)
+        cam = orbit_camera(scene.camera, phi, theta, zoom)
         fscene = dataclasses.replace(scene, camera=cam)
         t0 = time.time()
-        _, gbuffer, _ = render_gbuffer_frame(fscene, options)
+        if args.ground_truth:
+            from ..render import render
+            _, gbuffer, _ = render(fscene, options, num_iterations=gt_spp)
+        else:
+            _, gbuffer, _ = render_gbuffer_frame(fscene, options)
         x = jnp.moveaxis(gbuffer, 0, -1)[None]       # (1, H, W, 10)
         denoised, hidden = denoise(x, hidden)
         if pending is not None:
@@ -206,7 +242,8 @@ def cmd_datagen(args):
         scenes = [_rescale(s, args.res) for s in scenes]
     generate_training_data(
         scenes, args.out_dir, frames_per_scene=args.frames,
-        gt_spp=args.gt_spp, noise_seeds=args.noise_seeds,
+        gt_spp=args.gt_spp, noise_seeds=args.noise_seeds, movs=args.movs,
+        quantize=args.quantize or None,
         options=_render_options(args), png_dump=args.png_dump)
 
 
@@ -242,18 +279,22 @@ def cmd_train(args):
 
     from ..config import ModelOptions, TrainOptions
     from ..data import SequenceDataset, sequence_batches
-    from ..train import (MetricsLogger, fit, init_train_state,
-                         latest_checkpoint, load_checkpoint, save_checkpoint)
+    from ..train import (MetricsLogger, checkpoint_epoch, fit,
+                         init_train_state, latest_checkpoint, load_checkpoint,
+                         save_checkpoint)
 
     topt = TrainOptions(lr=args.lr, epochs=args.epochs,
                         crop_size=args.crop_size, batch_size=args.batch_size)
     mopt = ModelOptions() if not args.tpu_friendly else ModelOptions.tpu_friendly()
     state = init_train_state(jax.random.PRNGKey(topt.seed), mopt, topt)
+    resume_epoch = None
     if args.resume:
         ckpt = latest_checkpoint(args.model_dir)
         if ckpt:
             state = load_checkpoint(ckpt, state)
-            print(f"resumed from {ckpt} at step {int(state.step)}")
+            resume_epoch = checkpoint_epoch(ckpt)
+            print(f"resumed from {ckpt} at step {int(state.step)}, "
+                  f"epoch {resume_epoch}")
 
     # Window boundaries come from the filenames themselves (the dataset
     # builds its per-(scene, mov, noise) table; the reference's find_max
@@ -276,10 +317,19 @@ def cmd_train(args):
 
         from ..train.schedule import step_lr
         step_count = int(state.step)
-        # Resume mid-campaign: restart at the epoch the checkpoint left off
+        # Resume mid-campaign: restart at the epoch the checkpoint recorded
         # so StepLR continues from the decayed rate instead of the base LR.
+        # Pre-r3 checkpoints never stored it -> fall back to inferring from
+        # the step count (only valid if corpus and batch size are unchanged).
         steps_per_epoch = max(1, len(dataset) // n_dev)
-        for epoch in range(step_count // steps_per_epoch, args.epochs):
+        start_ep = resume_epoch
+        if start_ep is None:
+            start_ep = step_count // steps_per_epoch
+            if step_count:
+                print(f"warning: checkpoint lacks an epoch record; inferred "
+                      f"start epoch {start_ep} from step count (wrong if the "
+                      f"corpus or batch size changed)")
+        for epoch in range(start_ep, args.epochs):
             lr = step_lr(topt.lr, epoch, topt.lr_step_epochs, topt.lr_gamma)
             state = dc.replace(state, lr=jnp.asarray(lr, jnp.float32))
             for i, (x, y) in enumerate(sequence_batches(
@@ -301,14 +351,21 @@ def cmd_train(args):
     else:
         # epoch-aware iterator (fresh shuffle + crop stream per epoch) and
         # resume-aware start_epoch (StepLR continues from the decayed rate)
-        steps_per_epoch = max(1, len(dataset) // topt.batch_size)
+        start_ep = resume_epoch
+        if start_ep is None:
+            steps_per_epoch = max(1, len(dataset) // topt.batch_size)
+            start_ep = int(state.step) // steps_per_epoch
+            if int(state.step):
+                print(f"warning: checkpoint lacks an epoch record; inferred "
+                      f"start epoch {start_ep} from step count (wrong if the "
+                      f"corpus or batch size changed)")
         fit(state,
             lambda epoch: sequence_batches(dataset, batch_size=topt.batch_size,
                                            seed=epoch),
             topt, epochs=args.epochs, logger=logger,
             checkpoint_fn=lambda s, e: save_checkpoint(args.model_dir, s, e),
             model_options=mopt,
-            start_epoch=int(state.step) // steps_per_epoch)
+            start_epoch=start_ep)
 
 
 def cmd_eval(args):
@@ -331,8 +388,9 @@ def cmd_eval(args):
         params, bn_state = state.params, state.bn_state
         # widths come from the checkpoint's own shapes (a tpu_friendly
         # checkpoint evaluated with hardcoded defaults would crash on the
-        # hidden/width concat)
-        mopts = model_options_from_params(params)
+        # hidden/width concat); norm is unrecoverable from shapes -> --norm
+        mopts = model_options_from_params(params,
+                                          norm=getattr(args, "norm", "batch"))
     else:
         params, bn_state, meta = load_model(args.model)
         from ..models import model_options_from_meta
@@ -381,9 +439,10 @@ def cmd_export(args):
     # and the exported widths metadata is derived from their shapes.
     template = init_train_state(jax.random.PRNGKey(0))
     state = load_checkpoint(args.checkpoint, template)
-    mopt = model_options_from_params(state.params)
+    mopt = model_options_from_params(state.params,
+                                     norm=getattr(args, "norm", "batch"))
     save_model(args.out, state.params, state.bn_state, options=mopt)
-    print(f"exported {args.out} (widths {mopt.widths})")
+    print(f"exported {args.out} (widths {mopt.widths}, norm {mopt.norm})")
 
 
 def cmd_bench(args):
@@ -398,7 +457,7 @@ def cmd_bench(args):
     from ..utils.debug import profile_trace
     results = {}
     for scene_path in args.scenes:
-        scene = _load_scene_scaled(scene_path, args.res)
+        scene = _load_scene_scaled(scene_path, args.res, getattr(args, "res_wh", None))
         options = _render_options(args)
         # warm compile, then time with a host transfer as the fence
         # (block_until_ready can return early over tunneled backends)
@@ -426,6 +485,10 @@ def main(argv=None):
         if scene:
             sp.add_argument("scene", help="scene .txt file")
         sp.add_argument("--res", type=int, default=None)
+        sp.add_argument("--res-wh", type=int, nargs=2, default=None,
+                        metavar=("W", "H"),
+                        help="non-square resolution, e.g. --res-wh 1920 1080 "
+                             "(denoiser pads H/W to /32 and crops back)")
         sp.add_argument("--platform", default=None,
                         help="jax platform override (e.g. cpu)")
         for flag in ("stream-compaction", "sort-material", "cache-first-bounce",
@@ -460,6 +523,13 @@ def main(argv=None):
     sp.add_argument("--parity-denoise", action="store_true",
                     help="run the train-graph eval path instead of the "
                          "BN-folded bf16 deployment path")
+    sp.add_argument("--ground-truth", action="store_true",
+                    help="accumulate the scene's full spp budget (or --spp) "
+                         "per frame before denoising — GROUND_TRUTH mode "
+                         "(main.cpp:40-42, 160-165)")
+    sp.add_argument("--spp", type=int, default=None,
+                    help="spp per frame in --ground-truth mode "
+                         "(default: the scene's ITERATIONS)")
     sp.set_defaults(fn=cmd_interactive)
 
     sp = sub.add_parser("datagen", help="generate training data")
@@ -468,6 +538,10 @@ def main(argv=None):
     sp.add_argument("--frames", type=int, default=60)
     sp.add_argument("--gt-spp", type=int, default=512)
     sp.add_argument("--noise-seeds", type=int, default=1)
+    sp.add_argument("--movs", type=int, default=2,
+                    help="camera pans per scene (reference 'mov' axis)")
+    sp.add_argument("--quantize", default="", choices=("u8", ""),
+                    help="store npy as uint8 (reference 8-bit regime)")
     sp.add_argument("--variants", type=int, default=0)
     sp.add_argument("--seed", type=int, default=0)
     sp.add_argument("--png-dump", action="store_true")
@@ -510,11 +584,17 @@ def main(argv=None):
     sp.add_argument("--out-dir", default="eval_out")
     sp.add_argument("--max-sequences", type=int, default=8)
     sp.add_argument("--platform", default=None)
+    sp.add_argument("--norm", default="batch", choices=("batch", "group"),
+                    help="norm layer of a raw checkpoint (unrecoverable "
+                         "from its shapes; .npz artifacts carry it in meta)")
     sp.set_defaults(fn=cmd_eval)
 
     sp = sub.add_parser("export", help="checkpoint -> deployable .npz")
     sp.add_argument("checkpoint")
     sp.add_argument("--out", default="model_deploy.npz")
+    sp.add_argument("--norm", default="batch", choices=("batch", "group"),
+                    help="norm layer the checkpoint was trained with "
+                         "(unrecoverable from shapes; written to meta)")
     sp.set_defaults(fn=cmd_export)
 
     sp = sub.add_parser("bench", help="per-scene timing harness")

@@ -15,6 +15,7 @@ optional PNG dump reproduces the reference's directory layout
 from __future__ import annotations
 
 import dataclasses
+import math
 import os
 from typing import Optional, Sequence
 
@@ -25,6 +26,25 @@ from ..render import render, init_render_state
 from ..scene.camera import orbit_camera, orbit_params_from_camera
 from ..scene.structs import Scene
 from ..utils.imageio import save_png_scaled
+
+
+def encode_u8_input(x: np.ndarray) -> np.ndarray:
+    """(H, W, 10) float32 G-buffer -> uint8 with the reference's 8-bit data
+    regime (train.sh writes PNGs; preprocess.py:37-41 reads them back as
+    image/255, normal affine, depth/10): RGB+albedo in [0,1]*255, normals
+    [-1,1] -> [0,255], depth /10 clamped.  ``decode_u8_input`` inverts."""
+    u = np.empty(x.shape, np.uint8)
+    u[..., 0:3] = np.clip(x[..., 0:3], 0, 1) * 255.0 + 0.5
+    u[..., 3:6] = (np.clip(x[..., 3:6], -1, 1) * 0.5 + 0.5) * 255.0 + 0.5
+    u[..., 6:7] = np.clip(x[..., 6:7] / 10.0, 0, 1) * 255.0 + 0.5
+    u[..., 7:10] = np.clip(x[..., 7:10], 0, 1) * 255.0 + 0.5
+    return u
+
+
+def encode_u8_gt(y: np.ndarray) -> np.ndarray:
+    """(H, W, 3) float32 [0,1] ground truth -> uint8 (the reference's GT is
+    8-bit PNG too, preprocess.py:41)."""
+    return (np.clip(y, 0, 1) * 255.0 + 0.5).astype(np.uint8)
 
 
 def _gbuffer_to_input(gbuf: np.ndarray, clamp_rgb: bool = True) -> np.ndarray:
@@ -46,9 +66,11 @@ def generate_training_data(
         frames_per_scene: int = 60,
         gt_spp: int = 512,
         noise_seeds: int = 1,
+        movs: int = 2,
         options: RenderOptions = RenderOptions(),
         dphi: float = 0.01,
         png_dump: bool = False,
+        quantize: Optional[str] = None,
         progress: bool = True):
     """Render (input, gt) npy pairs for every scene/pan/noise/frame.
 
@@ -56,7 +78,11 @@ def generate_training_data(
     G-buffer; ``gt_spp`` accumulation renders the converged target.  The
     noise-seed axis offsets the iteration counter so each variant draws a
     different (iter, pixel, depth) hash stream — the reference's "noise"
-    axis (train.sh loop, README.md:96-103).
+    axis (train.sh loop, README.md:96-103).  The ``movs`` axis is the
+    reference's camera-pan ("mov") axis — train.sh renders each scene
+    along TWO pans (train.sh:13-30, README.md:96-103): mov 0 orbits
+    forward (phi + dphi*frame), mov 1 orbits in reverse with a slow theta
+    drift so the two pans see genuinely different view sequences.
     """
     input_dir = os.path.join(out_dir, "input")
     gt_dir = os.path.join(out_dir, "gt")
@@ -66,57 +92,82 @@ def generate_training_data(
         for sub in ("RGB", "Normals", "Depth", "Albedos", "GroundTruth"):
             os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
 
+    assert quantize in (None, "u8"), quantize
     for scene_idx, scene in enumerate(scenes):
         phi, theta, zoom = orbit_params_from_camera(scene.camera)
-        for frame in range(frames_per_scene):
-            # Resume: skip frames whose (input, gt) pairs all exist already —
-            # an interrupted campaign restarts where it stopped instead of
-            # re-rendering hours of ground truth.
-            done = all(
-                os.path.exists(os.path.join(
-                    input_dir, f"{scene_idx:03d}_0_{noise}_{frame:04d}.npy"))
-                and os.path.exists(os.path.join(
-                    gt_dir, f"{scene_idx:03d}_0_{noise}_{frame:04d}.npy"))
-                for noise in range(noise_seeds))
-            if done and not png_dump:
-                continue
-            cam = orbit_camera(scene.camera, phi + dphi * frame, theta, zoom)
-            fscene = dataclasses.replace(scene, camera=cam)
-            # ground truth: accumulate gt_spp iterations once per frame —
-            # the noise axis varies only the 1-spp input's RNG stream, so
-            # re-rendering GT per noise seed (as the reference's bash loop
-            # does, train.sh:13-30) would be pure waste.
-            gt_img, _, _ = render(fscene, options, num_iterations=gt_spp)
-            gt = np.clip(np.asarray(gt_img, np.float32), 0.0, 1.0)
-            if options.flip_horizontal:
-                gt = gt[:, ::-1]   # align GT with the flipped G-buffer
-            for noise in range(noise_seeds):
-                # 1-spp input frame. The noise axis shifts the RNG iteration
-                # counter by pre-advancing the state's iteration.
-                state = init_render_state(fscene)
-                state = dataclasses.replace(
-                    state, iteration=state.iteration + noise * 7919)
-                img1, gbuf, state = render(fscene, options, num_iterations=1,
-                                           state=state)
-                inp = _gbuffer_to_input(np.asarray(gbuf))
-                # zero-padded fields: lexicographic order == temporal order,
-                # so the loader's positional windows are truly consecutive
-                # frames (the reference's raw-int names scramble 10 < 2 —
-                # dataloader.py:33 sorted(); parsing is unaffected).
-                stem = f"{scene_idx:03d}_0_{noise}_{frame:04d}"
-                np.save(os.path.join(input_dir, stem + ".npy"), inp)
-                np.save(os.path.join(gt_dir, stem + ".npy"), gt)
-                if png_dump:
-                    save_png_scaled(os.path.join(out_dir, "RGB", stem), inp[..., 0:3])
-                    save_png_scaled(os.path.join(out_dir, "Normals", stem),
-                                    inp[..., 3:6] * 0.5 + 0.5)
-                    depth = inp[..., 6:7]
-                    save_png_scaled(os.path.join(out_dir, "Depth", stem),
-                                    np.repeat(depth / max(depth.max(), 1e-6), 3, -1))
-                    save_png_scaled(os.path.join(out_dir, "Albedos", stem),
-                                    inp[..., 7:10])
-                    save_png_scaled(os.path.join(out_dir, "GroundTruth", stem), gt)
-            if progress:
-                print(f"scene {scene_idx} frame {frame} done "
-                      f"({noise_seeds} noise seeds)")
+        for mov in range(movs):
+            for frame in range(frames_per_scene):
+                _gen_frame(scene_idx, scene, mov, frame, phi, theta, zoom,
+                           input_dir, gt_dir, out_dir, gt_spp, noise_seeds,
+                           options, dphi, png_dump, quantize, progress)
     return input_dir, gt_dir
+
+
+def _gen_frame(scene_idx, scene, mov, frame, phi, theta, zoom,
+               input_dir, gt_dir, out_dir, gt_spp, noise_seeds,
+               options, dphi, png_dump, quantize, progress):
+    # Resume: skip frames whose (input, gt) pairs all exist already —
+    # an interrupted campaign restarts where it stopped instead of
+    # re-rendering hours of ground truth.
+    done = all(
+        os.path.exists(os.path.join(
+            input_dir, f"{scene_idx:03d}_{mov}_{noise}_{frame:04d}.npy"))
+        and os.path.exists(os.path.join(
+            gt_dir, f"{scene_idx:03d}_{mov}_{noise}_{frame:04d}.npy"))
+        for noise in range(noise_seeds))
+    if done and not png_dump:
+        return
+    if mov == 0:
+        cam = orbit_camera(scene.camera, phi + dphi * frame, theta, zoom)
+    else:
+        # reverse pan + gentle theta drift: a distinct trajectory over
+        # the same scene (the reference's second camera pan)
+        th = min(max(theta - 0.3 * dphi * frame, 1e-3), math.pi - 1e-3)
+        cam = orbit_camera(scene.camera, phi - dphi * frame, th, zoom)
+    fscene = dataclasses.replace(scene, camera=cam)
+    # ground truth: accumulate gt_spp iterations once per frame — the
+    # noise axis varies only the 1-spp input's RNG stream, so re-rendering
+    # GT per noise seed (as the reference's bash loop does, train.sh:13-30)
+    # would be pure waste.
+    gt_img, _, _ = render(fscene, options, num_iterations=gt_spp)
+    gt = np.clip(np.asarray(gt_img, np.float32), 0.0, 1.0)
+    if options.flip_horizontal:
+        gt = gt[:, ::-1]   # align GT with the flipped G-buffer
+    for noise in range(noise_seeds):
+        # 1-spp input frame. The noise axis shifts the RNG iteration
+        # counter by pre-advancing the state's iteration; the mov axis
+        # shifts it again so the two pans draw distinct noise streams at
+        # matching frame indices.
+        state = init_render_state(fscene)
+        state = dataclasses.replace(
+            state, iteration=state.iteration + noise * 7919 + mov * 104729)
+        img1, gbuf, state = render(fscene, options, num_iterations=1,
+                                   state=state)
+        inp = _gbuffer_to_input(np.asarray(gbuf))
+        # zero-padded fields: lexicographic order == temporal order,
+        # so the loader's positional windows are truly consecutive
+        # frames (the reference's raw-int names scramble 10 < 2 —
+        # dataloader.py:33 sorted(); parsing is unaffected).
+        stem = f"{scene_idx:03d}_{mov}_{noise}_{frame:04d}"
+        if quantize == "u8":
+            # the reference's own 8-bit regime (PNG round trip) at 1/4 the
+            # disk/HBM footprint; SequenceDataset decodes transparently
+            np.save(os.path.join(input_dir, stem + ".npy"),
+                    encode_u8_input(inp))
+            np.save(os.path.join(gt_dir, stem + ".npy"), encode_u8_gt(gt))
+        else:
+            np.save(os.path.join(input_dir, stem + ".npy"), inp)
+            np.save(os.path.join(gt_dir, stem + ".npy"), gt)
+        if png_dump:
+            save_png_scaled(os.path.join(out_dir, "RGB", stem), inp[..., 0:3])
+            save_png_scaled(os.path.join(out_dir, "Normals", stem),
+                            inp[..., 3:6] * 0.5 + 0.5)
+            depth = inp[..., 6:7]
+            save_png_scaled(os.path.join(out_dir, "Depth", stem),
+                            np.repeat(depth / max(depth.max(), 1e-6), 3, -1))
+            save_png_scaled(os.path.join(out_dir, "Albedos", stem),
+                            inp[..., 7:10])
+            save_png_scaled(os.path.join(out_dir, "GroundTruth", stem), gt)
+    if progress:
+        print(f"scene {scene_idx} mov {mov} frame {frame} done "
+              f"({noise_seeds} noise seeds)")

@@ -47,8 +47,26 @@ def find_max(directory: str, num_scenes: int, num_mov: int, num_noise: int
     return m
 
 
+def decode_u8_input(u: np.ndarray) -> np.ndarray:
+    """uint8 (…, 10) G-buffer -> float32 (inverse of datagen.encode_u8_input:
+    RGB/albedo /255, normals *2-1, depth *10 — the reference's
+    preprocess.py:37-41 scalings)."""
+    f = u.astype(np.float32) / 255.0
+    f[..., 3:6] = f[..., 3:6] * 2.0 - 1.0
+    f[..., 6:7] = f[..., 6:7] * 10.0
+    return f
+
+
+def decode_u8_gt(u: np.ndarray) -> np.ndarray:
+    return u.astype(np.float32) / 255.0
+
+
 class SequenceDataset:
-    """Yields {image: (T,H,W,10), output: (T,H,W,3)} numpy windows."""
+    """Yields {image: (T,H,W,10), output: (T,H,W,3)} numpy windows.
+
+    Frames stored as uint8 (datagen ``quantize="u8"`` — the reference's
+    8-bit PNG data regime) are decoded to float32 transparently, after
+    cropping."""
 
     def __init__(self, input_dir: str, gt_dir: str, m: Optional[np.ndarray] = None,
                  sequence_length: int = 7, crop: bool = False,
@@ -181,8 +199,11 @@ class SequenceDataset:
         for i in range(start, start + self.T):
             mx = self._frame(self.input_dir, self.inputs[i])
             my = self._frame(self.gt_dir, self.outputs[i])
-            xs.append(np.asarray(mx[sl], np.float32))
-            ys.append(np.asarray(my[sl], np.float32))
+            cx, cy_ = np.asarray(mx[sl]), np.asarray(my[sl])
+            xs.append(decode_u8_input(cx) if cx.dtype == np.uint8
+                      else cx.astype(np.float32))
+            ys.append(decode_u8_gt(cy_) if cy_.dtype == np.uint8
+                      else cy_.astype(np.float32))
         x = np.stack(xs)                      # (T, H, W, 10)
         y = np.stack(ys)                      # (T, H, W, 3)
         return x, y

@@ -166,6 +166,36 @@ def apply_frame_fast(folded: Dict, x: jnp.ndarray, hidden: Dict,
     return y.astype(jnp.float32), new_hidden
 
 
+def padded_resolution(h: int, w: int, multiple: int = 32) -> Tuple[int, int]:
+    """Smallest (H, W) >= (h, w) divisible by ``multiple`` (5 pool stages)."""
+    up = lambda v: -(-v // multiple) * multiple
+    return up(h), up(w)
+
+
+def apply_frame_fast_padded(folded: Dict, x: jnp.ndarray, hidden: Dict,
+                            options: Optional[ModelOptions] = None,
+                            compute_dtype=jnp.bfloat16
+                            ) -> Tuple[jnp.ndarray, Dict]:
+    """``apply_frame_fast`` for resolutions NOT divisible by 32 (e.g. the
+    BASELINE north-star 1920x1080: H pads 1080 -> 1088).
+
+    The frame is edge-replicate padded on the bottom/right up to the next
+    multiple of 32, denoised, and the output cropped back to (h, w).
+    Edge padding (not zeros) keeps the border statistics in-distribution so
+    the crop boundary stays artifact-free.  ``hidden`` must be built at the
+    PADDED resolution (``init_hidden(*padded_resolution(h, w))``) — the
+    returned hidden is padded-resolution too, so streaming frames through
+    this wrapper carries it transparently.
+    """
+    _, h, w, _ = x.shape
+    hp, wp = padded_resolution(h, w)
+    if (hp, wp) != (h, w):
+        x = jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)),
+                    mode="edge")
+    y, hidden = apply_frame_fast(folded, x, hidden, options, compute_dtype)
+    return y[:, :h, :w, :], hidden
+
+
 def apply_sequence_fast(folded: Dict, x_seq: jnp.ndarray,
                         options: Optional[ModelOptions] = None,
                         compute_dtype=jnp.bfloat16) -> jnp.ndarray:

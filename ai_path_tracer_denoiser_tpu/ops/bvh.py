@@ -187,8 +187,9 @@ def build_mesh_bvh(vertices: np.ndarray, normals: np.ndarray,
 
     slb, sub_, super_rows_unpadded = _group_bounds(clb, cub, FANOUT, FANOUT)
     sp = super_rows_unpadded.shape[0]
-    # hyper level over supers; pad hyper count to a multiple of 1 (any)
-    _, _, hyper_rows = _group_bounds(slb, sub_, FANOUT, 1)
+    # hyper level over supers; padded to a multiple of FANOUT because the
+    # kernel tests hypers in vectorized batches of FANOUT rows too
+    _, _, hyper_rows = _group_bounds(slb, sub_, FANOUT, FANOUT)
 
     bvh = MeshBVH(
         faces_packed=jnp.asarray(packed),

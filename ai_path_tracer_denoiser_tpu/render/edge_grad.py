@@ -179,9 +179,11 @@ def rays_through_pixels(camera: Camera, uv: jnp.ndarray) -> Tuple[Vec3, Vec3]:
 # ---------------------------------------------------------------------------
 
 def box_silhouette_loop(geoms: Geoms, index: int,
-                        cam_pos) -> "np.ndarray":
+                        cam_pos, object_space: bool = False) -> "np.ndarray":
     """Ordered world-space vertices (m, 3) of a unit-cube geom's silhouette
-    polygon as seen from ``cam_pos``.
+    polygon as seen from ``cam_pos`` (object-space vertices when
+    ``object_space`` — the TRS-differentiable path re-applies the
+    transform itself).
 
     A cube face (axis a, sign s) is front-facing iff the object-space
     camera satisfies s*oc[a] > 0.5; an edge of the cube lies on the
@@ -233,6 +235,8 @@ def box_silhouette_loop(geoms: Geoms, index: int,
         p, q = edges[i]
         loop.append(q if key(p) == k else p)
     verts_obj = np.stack(loop[:-1])            # closed: drop repeated start
+    if object_space:
+        return verts_obj.astype(np.float32)
     h = np.concatenate([verts_obj, np.ones((len(verts_obj), 1))], axis=1)
     return (h @ m.T)[:, :3].astype(np.float32)
 
@@ -529,6 +533,139 @@ def translation_gradient(scene: Scene, options: RenderOptions,
         return jnp.mean(jnp.stack(list(state.accum)))
 
     return boundary + jax.grad(j_interior)(jnp.zeros((3,)))
+
+
+def rotation_matrix_xyz_deg(rot: jnp.ndarray) -> jnp.ndarray:
+    """Differentiable 3x3 R = Rx @ Ry @ Rz, angles in DEGREES XYZ order —
+    the rotation block of build_transformation_matrix (utilities.cpp:44-51,
+    scene/structs.py)."""
+    r = jnp.radians(rot)
+    cx, sx = jnp.cos(r[0]), jnp.sin(r[0])
+    cy, sy = jnp.cos(r[1]), jnp.sin(r[1])
+    cz, sz = jnp.cos(r[2]), jnp.sin(r[2])
+    rx = jnp.array([[1.0, 0.0, 0.0], [0.0, cx, -sx], [0.0, sx, cx]])
+    ry = jnp.array([[cy, 0.0, sy], [0.0, 1.0, 0.0], [-sy, 0.0, cy]])
+    rz = jnp.array([[cz, -sz, 0.0], [sz, cz, 0.0], [0.0, 0.0, 1.0]])
+    return rx @ ry @ rz
+
+
+def retrs_geom(geoms: Geoms, index: int, drot: jnp.ndarray,
+               dscale: jnp.ndarray) -> Geoms:
+    """Geoms with geom ``index``'s transform rebuilt at (rotation + drot,
+    scale + dscale), differentiably (jnp 4x4 compose + inverse).
+
+    The translation path keeps :func:`translate_geom` (exact sparse
+    update); rotation/scale need the full rebuild because they change the
+    3x3 block and its inverse non-trivially.
+    """
+    rot = geoms.rotation[index] + drot
+    scl = geoms.scale[index] + dscale
+    r3 = rotation_matrix_xyz_deg(rot)
+    m3 = r3 * scl[None, :]                       # R @ diag(s)
+    m = jnp.eye(4).at[:3, :3].set(m3).at[:3, 3].set(geoms.translation[index])
+    inv = jnp.linalg.inv(m)
+    return dataclasses.replace(
+        geoms,
+        rotation=geoms.rotation.at[index].set(rot),
+        scale=geoms.scale.at[index].set(scl),
+        transform=geoms.transform.at[index].set(m.astype(jnp.float32)),
+        inverse_transform=geoms.inverse_transform.at[index].set(
+            inv.astype(jnp.float32)),
+        inv_transpose=geoms.inv_transpose.at[index].set(
+            inv.T.astype(jnp.float32)))
+
+
+def trs_gradient(scene: Scene, options: RenderOptions, geom_index: int,
+                 param: str, *, n_edge: int = 512, spp: int = 128,
+                 eps_px: float = 0.75,
+                 include_interior: bool = True) -> jnp.ndarray:
+    """d(mean image)/d(ROTAT or SCALE of geom ``geom_index``) — (3,).
+
+    Completes d(image)/d(TRS) over every transform parameter the scene
+    randomizer mutates (create_scene.py:47-57 equivalents): translations
+    via :func:`translation_gradient`, rotations/scales here.  Same
+    boundary machinery — only the edge-point velocity differs:
+
+      world(delta) = T + R(rot + drot) ((scale + dscale) .* x_obj)
+
+    with the object-space silhouette geometry held fixed for cubes (the
+    active edge set is piecewise constant; flips are measure-zero) and
+    re-derived inside the differentiable map for spheres (the unit-sphere
+    silhouette circle depends on the object-space camera, which moves
+    under rotation/scale — an anisotropically-scaled sphere's world
+    silhouette is exactly the TRS image of that circle).
+
+    The interior term matters here (unlike translations of diffuse
+    scenes): rotating/scaling a geom changes shading normals and hit
+    points continuously — plain AD through the differentiable render path
+    with :func:`retrs_geom` captures it.
+
+    Secondary-visibility boundaries remain unestimated, as for
+    translations (module docstring).
+    """
+    import numpy as np
+    if param not in ("rotate", "scale"):
+        raise ValueError(f"param must be 'rotate' or 'scale', got {param!r}")
+    cam = scene.camera
+    geoms = scene.geoms
+    cam_pos = jnp.asarray(cam.position)
+    gtype = int(np.asarray(geoms.type[geom_index]))
+    T = geoms.translation[geom_index]
+    rot0 = geoms.rotation[geom_index]
+    scl0 = geoms.scale[geom_index]
+
+    def world_map(delta, x_obj):
+        drot = delta if param == "rotate" else jnp.zeros((3,))
+        dscl = delta if param == "scale" else jnp.zeros((3,))
+        r3 = rotation_matrix_xyz_deg(rot0 + drot)
+        return T[None, :] + (x_obj * (scl0 + dscl)[None, :]) @ r3.T
+
+    if gtype == 0:                                   # SPHERE
+        def uv_fn(delta, phis):
+            drot = delta if param == "rotate" else jnp.zeros((3,))
+            dscl = delta if param == "scale" else jnp.zeros((3,))
+            r3 = rotation_matrix_xyz_deg(rot0 + drot)
+            # object-space camera of the TRS'd unit sphere (radius 0.5,
+            # intersections.h:112): oc = S^-1 R^T (cam - T)
+            oc = (r3.T @ (cam_pos - T)) / (scl0 + dscl)
+            c = silhouette_points_sphere(jnp.zeros((3,)), 0.5, oc, phis)
+            return project_to_pixels(world_map(delta, c), cam)
+    elif gtype == 1:                                 # CUBE
+        verts_obj = jnp.asarray(box_silhouette_loop(
+            geoms, geom_index, np.asarray(cam.position), object_space=True))
+
+        def uv_fn(delta, phis):
+            x_obj = polygon_points(verts_obj, phis)
+            return project_to_pixels(world_map(delta, x_obj), cam)
+    else:
+        raise ValueError("edge gradients support sphere and cube geoms; "
+                         f"geom {geom_index} has type {gtype}")
+
+    boundary = _silhouette_boundary_term(scene, options, uv_fn,
+                                         n_edge, spp, eps_px)
+    if not include_interior:
+        return boundary
+
+    def j_interior(delta):
+        drot = delta if param == "rotate" else jnp.zeros((3,))
+        dscl = delta if param == "scale" else jnp.zeros((3,))
+        s = dataclasses.replace(
+            scene, geoms=retrs_geom(geoms, geom_index, drot, dscl))
+        state = trace_iteration(s, options, init_render_state(s),
+                                differentiable=True)
+        return jnp.mean(jnp.stack(list(state.accum)))
+
+    return boundary + jax.grad(j_interior)(jnp.zeros((3,)))
+
+
+def rotation_gradient(scene, options, geom_index: int, **kw) -> jnp.ndarray:
+    """d(mean image)/d(ROTAT degrees of geom ``geom_index``) — (3,)."""
+    return trs_gradient(scene, options, geom_index, "rotate", **kw)
+
+
+def scale_gradient(scene, options, geom_index: int, **kw) -> jnp.ndarray:
+    """d(mean image)/d(SCALE of geom ``geom_index``) — (3,)."""
+    return trs_gradient(scene, options, geom_index, "scale", **kw)
 
 
 def camera_translation_gradient(scene: Scene, options: RenderOptions, *,

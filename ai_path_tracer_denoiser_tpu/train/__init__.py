@@ -9,5 +9,6 @@ from .loss import (  # noqa: F401
 from .schedule import step_lr  # noqa: F401
 from .trainer import TrainState, init_train_state, train_step, fit  # noqa: F401
 from .device_data import fit_device_data, load_device_dataset  # noqa: F401
-from .checkpoint import save_checkpoint, load_checkpoint, latest_checkpoint  # noqa: F401
+from .checkpoint import (save_checkpoint, load_checkpoint,  # noqa: F401
+                         latest_checkpoint, checkpoint_epoch)
 from .logger import MetricsLogger  # noqa: F401

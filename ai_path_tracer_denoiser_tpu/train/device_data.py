@@ -50,7 +50,15 @@ def load_device_dataset(dataset, dtype=jnp.bfloat16, chunk: int = 96):
     f0 = np.load(dataset.path_of(0, gt=False), mmap_mode="r")
     h, w = f0.shape[:2]
     n = len(dataset)
-    np_dtype = ml_dtypes.bfloat16 if dtype == jnp.bfloat16 else np.float32
+    if f0.dtype == np.uint8:
+        # u8-quantized corpus (datagen quantize="u8"): upload RAW uint8 —
+        # 1/2 the bf16 footprint (a 2-pan x 3-seed 512^2 campaign fits a
+        # 16 GB chip only this way) — and decode on device AFTER cropping,
+        # so host and device paths see identical values.
+        dtype = jnp.uint8
+        np_dtype = np.uint8
+    else:
+        np_dtype = ml_dtypes.bfloat16 if dtype == jnp.bfloat16 else np.float32
 
     @partial(jax.jit, donate_argnums=(0,))
     def insert(buf, piece, start):
@@ -76,11 +84,11 @@ def load_device_dataset(dataset, dtype=jnp.bfloat16, chunk: int = 96):
     return X, Y, starts
 
 
-def _crop_batch(X, Y, starts, cys, cxs, t, c):
-    """(N,) windows -> time-major (T, N, c, c, C) batches, on device."""
+def _crop_batch(X, Y, starts, cys, cxs, t, ch, cw):
+    """(N,) windows -> time-major (T, N, ch, cw, C) batches, on device."""
     def one(s, cy, cx):
-        x = jax.lax.dynamic_slice(X, (s, cy, cx, 0), (t, c, c, X.shape[-1]))
-        y = jax.lax.dynamic_slice(Y, (s, cy, cx, 0), (t, c, c, Y.shape[-1]))
+        x = jax.lax.dynamic_slice(X, (s, cy, cx, 0), (t, ch, cw, X.shape[-1]))
+        y = jax.lax.dynamic_slice(Y, (s, cy, cx, 0), (t, ch, cw, Y.shape[-1]))
         return x, y
     xs, ys = jax.vmap(one)(starts, cys, cxs)           # (N, T, c, c, C)
     return jnp.swapaxes(xs, 0, 1), jnp.swapaxes(ys, 0, 1)
@@ -102,7 +110,12 @@ def fit_device_data(state: TrainState, dataset,
     epochs = epochs if epochs is not None else topt.epochs
     if data is None:
         t0 = time.time()
-        data = load_device_dataset(dataset)
+        # Upload dtype follows the compute dtype: with bf16_compute=False
+        # the host fit() path trains on f32 inputs, and this path must
+        # match it numerically rather than silently quantizing to bf16.
+        data = load_device_dataset(
+            dataset,
+            dtype=jnp.bfloat16 if topt.bf16_compute else jnp.float32)
         print(f"[device-data] uploaded {len(dataset)} frames "
               f"({(data[0].nbytes + data[1].nbytes) / 2**30:.1f} GiB) "
               f"in {time.time() - t0:.0f}s")
@@ -110,16 +123,27 @@ def fit_device_data(state: TrainState, dataset,
     n = len(dataset)
     batch = topt.batch_size
     t_frames = topt.sequence_length
-    crop = topt.crop_size if topt.crop_size else X.shape[1]
     h, w = X.shape[1:3]
+    # crop_size=0 disables cropping: full (H, W) frames, like the host path.
+    crop_h = topt.crop_size if topt.crop_size else h
+    crop_w = topt.crop_size if topt.crop_size else w
     steps_per_epoch = n // batch
 
     # X/Y ride as ARGUMENTS, not closure captures: captured device arrays
     # are baked into the lowered program as constants (9 GB of them — the
     # lowering itself warns), while arguments pass by reference for free.
+    in_dtype = jnp.bfloat16 if topt.bf16_compute else jnp.float32
+
     @jax.jit
     def jit_step(state, X, Y, starts, cys, cxs):
-        x, y = _crop_batch(X, Y, starts, cys, cxs, t_frames, crop)
+        x, y = _crop_batch(X, Y, starts, cys, cxs, t_frames, crop_h, crop_w)
+        if X.dtype == jnp.uint8:
+            # decode the u8 regime post-crop (data/dataset.py decode_u8_*)
+            x = x.astype(jnp.float32) / 255.0
+            x = jnp.concatenate([x[..., 0:3], x[..., 3:6] * 2.0 - 1.0,
+                                 x[..., 6:7] * 10.0, x[..., 7:10]], axis=-1)
+            x = x.astype(in_dtype)
+            y = (y.astype(jnp.float32) / 255.0).astype(in_dtype)
         return train_step(state, x, y, topt, model_options=model_options)
 
     overall_step = int(state.step)
@@ -152,8 +176,12 @@ def fit_device_data(state: TrainState, dataset,
             cx = np.empty(batch, np.int32)
             for j, item in enumerate(idxs):
                 rng = np.random.default_rng([epoch, int(item)])
-                cy[j] = int(rng.integers(max(1, h // crop))) * crop
-                cx[j] = int(rng.integers(max(1, w // crop))) * crop
+                # EXACT same draw expression as SequenceDataset.__getitem__
+                # (dataset.py) — identical crops bit-for-bit, and identical
+                # failure (integers(0) raises) on frames smaller than the
+                # crop, instead of silently clamping out-of-range offsets.
+                cy[j] = int(rng.integers(h // crop_h)) * crop_h
+                cx[j] = int(rng.integers(w // crop_w)) * crop_w
             state, metrics = jit_step(
                 state, X, Y, jnp.asarray(starts_tbl[idxs]), jnp.asarray(cy),
                 jnp.asarray(cx))

@@ -25,8 +25,21 @@ import numpy as np
 
 _PAGE = b"""<!doctype html><html><head><title>ai_path_tracer_denoiser_tpu</title>
 <style>body{background:#111;margin:0;display:grid;place-items:center;height:100vh}
-img{image-rendering:pixelated;max-width:96vw;max-height:96vh}</style></head>
-<body><img src="/stream"></body></html>"""
+img{image-rendering:pixelated;max-width:96vw;max-height:96vh}
+#hint{position:fixed;bottom:6px;left:8px;color:#888;font:12px monospace}</style></head>
+<body><img src="/stream">
+<div id="hint">arrows: orbit &nbsp; +/-: zoom</div>
+<script>
+// keyboard orbit -> /camera query params (keyCallback/mouse orbit analogue,
+// main.cpp:169-223); the render loop polls these between frames.
+const step = {ArrowLeft:['dphi',-0.08], ArrowRight:['dphi',0.08],
+              ArrowUp:['dtheta',-0.08], ArrowDown:['dtheta',0.08],
+              '+':['dzoom',-0.4], '=':['dzoom',-0.4], '-':['dzoom',0.4]};
+addEventListener('keydown', e => {
+  const s = step[e.key];
+  if (s) { fetch(`/camera?${s[0]}=${s[1]}`); e.preventDefault(); }
+});
+</script></body></html>"""
 
 
 def _encode(frame: np.ndarray):
@@ -51,6 +64,11 @@ class PreviewServer:
         self._frame = None          # (mime, bytes)
         self._seq = 0
         self._cond = threading.Condition()
+        # Pending camera-control input (mouse/key orbit analogue,
+        # main.cpp:169-223): relative d* keys accumulate, absolute keys
+        # overwrite; the render loop drains them via ``pop_camera()``.
+        self._camera: dict = {}
+        self._cam_lock = threading.Lock()
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -58,8 +76,26 @@ class PreviewServer:
                 pass
 
             def do_GET(self):
-                if self.path == "/stream":
+                from urllib.parse import parse_qsl, urlparse
+                url = urlparse(self.path)
+                if url.path == "/stream":
                     self._stream()
+                elif url.path == "/camera":
+                    with outer._cam_lock:
+                        for k, v in parse_qsl(url.query):
+                            if k not in ("phi", "theta", "zoom",
+                                         "dphi", "dtheta", "dzoom"):
+                                continue
+                            try:
+                                v = float(v)
+                            except ValueError:
+                                continue
+                            if k.startswith("d"):
+                                outer._camera[k] = outer._camera.get(k, 0.0) + v
+                            else:
+                                outer._camera[k] = v
+                    self.send_response(204)
+                    self.end_headers()
                 else:
                     self.send_response(200)
                     self.send_header("Content-Type", "text/html")
@@ -107,6 +143,13 @@ class PreviewServer:
             self._frame = encoded
             self._seq += 1
             self._cond.notify_all()
+
+    def pop_camera(self) -> dict:
+        """Drain pending camera-control input: {phi|theta|zoom: absolute,
+        dphi|dtheta|dzoom: accumulated relative} — empty if none arrived."""
+        with self._cam_lock:
+            out, self._camera = self._camera, {}
+        return out
 
     def close(self):
         self._httpd.shutdown()

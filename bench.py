@@ -104,28 +104,112 @@ def bench_denoiser():
             y, _ = fn(folded, x, hidden)
         _fence(y)
         times.append((time.perf_counter() - t0) / 8)
-    return sorted(times)
+
+    # 1080p row (BASELINE.json's named resolution): 1920x1080 through the
+    # pad-and-crop wrapper (H pads 1080 -> 1088, models/inference.py).
+    from ai_path_tracer_denoiser_tpu.models import (apply_frame_fast_padded,
+                                                    padded_resolution)
+    h2, w2 = 1080, 1920
+    hp, wp = padded_resolution(h2, w2)
+    x2 = jnp.zeros((1, h2, w2, 10), jnp.float32)
+    hidden2 = init_hidden(1, hp, wp, opts, dtype=jnp.bfloat16)
+    fn2 = jax.jit(lambda f, xx, hd: apply_frame_fast_padded(f, xx, hd, opts))
+    y2, _ = fn2(folded, x2, hidden2)
+    _fence(y2)
+    times_1080 = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        for _ in range(4):
+            y2, _ = fn2(folded, x2, hidden2)
+        _fence(y2)
+        times_1080.append((time.perf_counter() - t0) / 4)
+    return sorted(times), sorted(times_1080)
 
 
-def bench_mesh_bvh():
-    """Bunny-class mesh rate: the 81,920-face statue scene at 800^2, 1 spp
-    per frame through the cluster-BVH Pallas kernel (ops/bvh.py,
-    render/mesh_kernel.py).  The reference's brute-force per-ray loop
-    (pathtrace.cu:258-281) cannot render meshes at this scale."""
-    from ai_path_tracer_denoiser_tpu.config import RenderOptions
+def _bench_scene_frames(scene, options, iters):
+    """Median seconds per 1-spp frame for a prepared scene."""
     from ai_path_tracer_denoiser_tpu.render import render
-    from ai_path_tracer_denoiser_tpu.scene import load_scene
 
-    scene = load_scene("scenes/cornell_mesh_statue.txt")
-    options = RenderOptions()
     _, _, state = render(scene, options, num_iterations=2)
     _fence(state.accum.x)
     times = []
     for _ in range(REPS):
         t0 = time.perf_counter()
-        _, _, state = render(scene, options, num_iterations=8, state=state)
+        _, _, state = render(scene, options, num_iterations=iters,
+                             state=state)
         _fence(state.accum.x)
-        times.append((time.perf_counter() - t0) / 8)
+        times.append((time.perf_counter() - t0) / iters)
+    return sorted(times)
+
+
+def bench_mesh_bvh():
+    """Bunny-class mesh rates through the cluster-BVH Pallas kernel
+    (ops/bvh.py, render/mesh_kernel.py) — the reference's brute-force
+    per-ray loop (pathtrace.cu:258-281) cannot render meshes at this
+    scale.  Three rows so traversal-scaling regressions are visible in the
+    BENCH record (r2 VERDICT weak #8): the 81,920-face statue at full
+    depth 8 (incoherent secondary rays — the hard case), the same scene at
+    depth 1 (coherent primary rays only), and the 5,120-face blob."""
+    import dataclasses
+
+    from ai_path_tracer_denoiser_tpu.config import RenderOptions
+    from ai_path_tracer_denoiser_tpu.scene import load_scene
+
+    options = RenderOptions()
+    statue = load_scene("scenes/cornell_mesh_statue.txt")
+    rows = {}
+    rows["statue"] = _bench_scene_frames(statue, options, 8)
+    rows["statue_d1"] = _bench_scene_frames(
+        dataclasses.replace(statue, trace_depth=1), options, 8)
+    rows["blob"] = _bench_scene_frames(
+        load_scene("scenes/cornell_mesh_blob.txt"), options, 8)
+    return rows
+
+
+def bench_interactive():
+    """End-to-end interactive frame: 1-spp 800^2 trace + G-buffer assembly
+    + BN-folded bf16 denoise, per frame (the runCuda + denoise loop,
+    main.cpp:120-168; reference ~0.072 s trace + 0.1538 s denoise)."""
+    import jax
+    import dataclasses
+
+    from ai_path_tracer_denoiser_tpu.config import ModelOptions, RenderOptions
+    from ai_path_tracer_denoiser_tpu.models import (apply_frame_fast,
+                                                    init_autoencoder,
+                                                    init_hidden,
+                                                    prepare_inference)
+    from ai_path_tracer_denoiser_tpu.render import render_gbuffer_frame
+    from ai_path_tracer_denoiser_tpu.scene import load_scene
+    from ai_path_tracer_denoiser_tpu.scene.camera import derive_camera
+
+    scene = load_scene("scenes/cornell_box.txt")
+    if scene.camera.resolution != (WIDTH, HEIGHT):
+        cam = derive_camera((WIDTH, HEIGHT), 45.0,
+                            np.asarray(scene.camera.position),
+                            np.asarray(scene.camera.look_at),
+                            np.asarray(scene.camera.up))
+        scene = dataclasses.replace(scene, camera=cam)
+    options = RenderOptions()
+    mopts = ModelOptions()
+    params, bn_state = init_autoencoder(jax.random.PRNGKey(0), mopts)
+    folded = prepare_inference(params, bn_state, mopts)
+    denoise = jax.jit(lambda x, hd: apply_frame_fast(folded, x, hd, mopts))
+    hidden = init_hidden(1, HEIGHT, WIDTH, mopts, dtype=jnp.bfloat16)
+
+    def frame(hidden):
+        _, gbuf, _ = render_gbuffer_frame(scene, options)
+        x = jnp.moveaxis(gbuf, 0, -1)[None]
+        return denoise(x, hidden)
+
+    y, hidden = frame(hidden)
+    _fence(y)
+    times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        for _ in range(4):
+            y, hidden = frame(hidden)
+        _fence(y)
+        times.append((time.perf_counter() - t0) / 4)
     return sorted(times)
 
 
@@ -155,9 +239,14 @@ def main():
     rates = bench_render()
     mrays = rates[len(rates) // 2]
     baseline_mrays = (WIDTH * HEIGHT) / REFERENCE_SECONDS_PER_FRAME / 1e6
-    den = bench_denoiser()
+    den, den_1080 = bench_denoiser()
     tr = bench_train_step()
     mesh = bench_mesh_bvh()
+    inter = bench_interactive()
+
+    def med_ms(ts):
+        return round(ts[len(ts) // 2] * 1e3, 3)
+
     print(json.dumps({
         "metric": "pt_1spp_Mrays_per_s_per_chip",
         "value": round(mrays, 3),
@@ -165,14 +254,20 @@ def main():
         "vs_baseline": round(mrays / baseline_mrays, 3),
         "extra": {
             "render_Mrays_min_max": [round(rates[0], 3), round(rates[-1], 3)],
-            "denoise_800sq_ms_median": round(den[len(den) // 2] * 1e3, 3),
+            "denoise_832sq_ms_median": med_ms(den),
             "denoise_vs_baseline": round(
                 REFERENCE_DENOISE_SECONDS / den[len(den) // 2], 2),
-            "train_step_ms_median": round(tr[len(tr) // 2] * 1e3, 3),
+            "denoise_1080p_ms_median": med_ms(den_1080),
+            "interactive_800sq_ms_median": med_ms(inter),
+            "interactive_vs_baseline": round(
+                (REFERENCE_SECONDS_PER_FRAME + REFERENCE_DENOISE_SECONDS)
+                / inter[len(inter) // 2], 2),
+            "train_step_ms_median": med_ms(tr),
             "train_step_vs_baseline": round(
                 REFERENCE_TRAIN_STEP_SECONDS / tr[len(tr) // 2], 2),
-            "statue_81920faces_1spp_ms_median": round(
-                mesh[len(mesh) // 2] * 1e3, 3),
+            "statue_81920faces_1spp_ms_median": med_ms(mesh["statue"]),
+            "statue_depth1_ms_median": med_ms(mesh["statue_d1"]),
+            "blob_5120faces_1spp_ms_median": med_ms(mesh["blob"]),
             "reps": REPS,
         },
     }))

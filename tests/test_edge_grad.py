@@ -388,3 +388,84 @@ def test_camera_translation_gradient():
     g_obj = np.asarray(translation_gradient(scene, OPTS, SPHERE, n_edge=512,
                                             spp=2, include_interior=False))
     np.testing.assert_allclose(g_cam, -g_obj, rtol=0.02, atol=2e-6)
+
+
+def test_retrs_geom_matches_host_matrices():
+    """retrs_geom at delta=0 reproduces the parser's host-built TRS
+    matrices (build_transformation_matrix) to f32 rounding."""
+    from ai_path_tracer_denoiser_tpu.render.edge_grad import retrs_geom
+
+    scene = _box_scene()
+    g = retrs_geom(scene.geoms, BOX, jnp.zeros((3,)), jnp.zeros((3,)))
+    np.testing.assert_allclose(np.asarray(g.transform[BOX]),
+                               np.asarray(scene.geoms.transform[BOX]),
+                               rtol=0, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(g.inverse_transform[BOX]),
+                               np.asarray(scene.geoms.inverse_transform[BOX]),
+                               rtol=0, atol=2e-6)
+
+
+def test_rotation_gradient_sphere_is_zero():
+    """A uniformly-scaled sphere is rotation-invariant: the estimator must
+    return ~0 for d(image)/d(ROTAT) (both the boundary velocity and the
+    interior term vanish)."""
+    from ai_path_tracer_denoiser_tpu.render.edge_grad import rotation_gradient
+
+    scene = _scene()
+    g = np.asarray(rotation_gradient(scene, OPTS, SPHERE,
+                                     n_edge=128, spp=2, eps_px=0.75))
+    assert np.all(np.abs(g) < 1e-4), g
+
+
+def test_scale_gradient_sphere_matches_rendered_fd():
+    """d(mean image)/d(SCALE) of the sphere vs rendered finite differences
+    along sx (anisotropic direction from a uniform starting point — the
+    silhouette becomes an ellipse; the closed-form unit-sphere-circle
+    pullback must track it)."""
+    from ai_path_tracer_denoiser_tpu.render.edge_grad import (retrs_geom,
+                                                              scale_gradient)
+
+    scene = _scene()
+    opts = RenderOptions(antialias=True)
+    g = np.asarray(scale_gradient(scene, opts, SPHERE,
+                                  n_edge=512, spp=2, eps_px=0.75))
+
+    def j(ds):
+        geoms = retrs_geom(scene.geoms, SPHERE, jnp.zeros((3,)),
+                           jnp.asarray([ds, 0.0, 0.0]))
+        s = dataclasses.replace(scene, geoms=geoms)
+        img, _, _ = render(s, opts, num_iterations=192)
+        return float(jnp.mean(img))
+
+    ds = 0.1
+    fd = (j(ds) - j(-ds)) / (2 * ds)
+    np.testing.assert_allclose(g[0], fd, rtol=0.1,
+                               err_msg=f"estimator {g[0]} vs rendered FD {fd}")
+    # growing the black sphere darkens the image along every scale axis
+    assert np.all(g < 0)
+
+
+def test_rotation_gradient_box_matches_rendered_fd():
+    """d(mean image)/d(ROTAT degrees) of a rotated box vs rendered finite
+    differences along ry."""
+    from ai_path_tracer_denoiser_tpu.render.edge_grad import (retrs_geom,
+                                                              trs_gradient)
+
+    scene = _box_scene()
+    opts = RenderOptions(antialias=True)
+    g = np.asarray(trs_gradient(scene, opts, BOX, "rotate",
+                                n_edge=512, spp=2, eps_px=0.75))
+
+    def j(dr):
+        geoms = retrs_geom(scene.geoms, BOX, jnp.asarray([0.0, dr, 0.0]),
+                           jnp.zeros((3,)))
+        s = dataclasses.replace(scene, geoms=geoms)
+        img, _, _ = render(s, opts, num_iterations=192)
+        return float(jnp.mean(img))
+
+    dr = 2.0      # degrees
+    fd = (j(dr) - j(-dr)) / (2 * dr)
+    # rotating the box sweeps silhouette area; both must see the same sign
+    # and magnitude (FD noise floor at 192 spp is a few percent of |g|)
+    np.testing.assert_allclose(g[1], fd, rtol=0.15, atol=3e-6,
+                               err_msg=f"estimator {g[1]} vs rendered FD {fd}")

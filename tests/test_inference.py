@@ -154,3 +154,31 @@ def test_pad_channels_with_carried_hidden():
                               compute_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(y2p), np.asarray(y2),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_padded_inference_non_divisible_resolution():
+    """1080p-class frames (H not divisible by 32) run through the
+    pad-and-crop wrapper: interior pixels must match the same network run
+    at a natively-/32 resolution containing the frame, and the output crop
+    must be exactly (h, w)."""
+    from ai_path_tracer_denoiser_tpu.models import (
+        apply_frame_fast_padded, padded_resolution)
+
+    params, bn_state = _nontrivial_model()
+    folded = prepare_inference(params, bn_state, OPTS,
+                               compute_dtype=jnp.float32)
+    h, w = 60, 96                       # h % 32 != 0 (pads to 64)
+    hp, wp = padded_resolution(h, w)
+    assert (hp, wp) == (64, 96)
+    x = jax.random.uniform(jax.random.PRNGKey(3), (1, h, w, 10))
+    hidden = init_hidden(1, hp, wp, OPTS)
+    y, new_hidden = apply_frame_fast_padded(folded, x, hidden, OPTS,
+                                            compute_dtype=jnp.float32)
+    assert y.shape == (1, h, w, 3)
+    # hidden comes back at the padded resolution for streaming
+    assert new_hidden["enc1"].shape[1:3] == (hp, wp)
+    # reference: run the padded frame through the unwrapped network
+    xp = jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)), mode="edge")
+    y_ref, _ = apply_frame_fast(folded, xp, hidden, OPTS,
+                                compute_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(y_ref)[:, :h, :w])

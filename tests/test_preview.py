@@ -38,3 +38,27 @@ def test_preview_streams_frames():
         conn.close()
     finally:
         server.close()
+
+
+def test_camera_control_endpoint():
+    """/camera query params reach the render loop via pop_camera():
+    relative d* keys accumulate across requests, absolute keys overwrite,
+    unknown/garbage keys are ignored (main.cpp:169-223 analogue)."""
+    import urllib.request
+
+    from ai_path_tracer_denoiser_tpu.utils.preview import PreviewServer
+
+    server = PreviewServer(port=0)
+    try:
+        base = f"http://127.0.0.1:{server.port}"
+        for q in ("dphi=0.1", "dphi=0.2&theta=1.5", "zoom=9&junk=1&phi=abc"):
+            req = urllib.request.urlopen(f"{base}/camera?{q}", timeout=5)
+            assert req.status == 204
+        cam = server.pop_camera()
+        assert abs(cam["dphi"] - 0.3) < 1e-9     # accumulated
+        assert cam["theta"] == 1.5               # absolute
+        assert cam["zoom"] == 9.0
+        assert "junk" not in cam and "phi" not in cam
+        assert server.pop_camera() == {}         # drained
+    finally:
+        server.close()

@@ -63,24 +63,29 @@ def stage_datagen(args):
     else:
         opts = RenderOptions(backend=args.render_backend)
     template = os.path.join(REPO, "scenes", "template_random.txt")
-    for split, count, seed, frames in (
-            ("train", args.train_scenes, 42, args.frames),
-            ("eval", args.eval_scenes, 777, max(14, args.frames // 3))):
+    # eval pool: unseen scenes, ONE pan, converged GT (>= the ~2000 spp
+    # quality knee, README.md:89) so eval PSNR has no GT-noise floor.
+    for split, count, seed, frames, movs, seeds, gt_spp in (
+            ("train", args.train_scenes, 42, args.frames, args.movs,
+             args.noise_seeds, args.gt_spp),
+            ("eval", args.eval_scenes, 777, max(14, args.frames // 3), 1,
+             1, args.gt_spp_eval)):
         out_dir = os.path.join(args.out, "data", split)
         if os.path.exists(os.path.join(out_dir, "input")):
             n = len(os.listdir(os.path.join(out_dir, "input")))
-            if n >= count * frames * args.noise_seeds:
+            if n >= count * frames * seeds * movs:
                 print(f"[datagen] {split}: {n} frames already present, skip")
                 continue
         scenes = [_rescale(s, args.res)
                   for s in _scenes(template, count, seed)]
         t0 = time.time()
         generate_training_data(scenes, out_dir, frames_per_scene=frames,
-                               gt_spp=args.gt_spp,
-                               noise_seeds=args.noise_seeds, options=opts,
+                               gt_spp=gt_spp, movs=movs,
+                               noise_seeds=seeds, options=opts,
+                               quantize=args.quantize or None,
                                progress=True)
-        print(f"[datagen] {split}: {count} scenes x {frames} frames "
-              f"in {time.time() - t0:.0f}s")
+        print(f"[datagen] {split}: {count} scenes x {movs} pans x {seeds} "
+              f"seeds x {frames} frames in {time.time() - t0:.0f}s")
 
 
 def stage_train(args):
@@ -88,8 +93,8 @@ def stage_train(args):
     from ai_path_tracer_denoiser_tpu.config import ModelOptions, TrainOptions
     from ai_path_tracer_denoiser_tpu.data import SequenceDataset, sequence_batches
     from ai_path_tracer_denoiser_tpu.train import (
-        MetricsLogger, fit, init_train_state, latest_checkpoint,
-        load_checkpoint, save_checkpoint)
+        MetricsLogger, checkpoint_epoch, fit, init_train_state,
+        latest_checkpoint, load_checkpoint, save_checkpoint)
 
     topt = TrainOptions(epochs=args.epochs, batch_size=args.batch,
                         crop_size=args.crop,
@@ -98,17 +103,25 @@ def stage_train(args):
             else ModelOptions())
     state = init_train_state(jax.random.PRNGKey(0), mopt, topt)
     model_dir = os.path.join(args.out, args.models_subdir)
+    resume_epoch = None
     if args.resume:
         ckpt = latest_checkpoint(model_dir)
         if ckpt:
             state = load_checkpoint(ckpt, state)
-            print(f"[train] resumed {ckpt} at step {int(state.step)}")
+            resume_epoch = checkpoint_epoch(ckpt)
+            print(f"[train] resumed {ckpt} at step {int(state.step)}, "
+                  f"epoch {resume_epoch}")
     data = os.path.join(args.out, "data", "train")
     dataset = SequenceDataset(os.path.join(data, "input"),
                               os.path.join(data, "gt"),
                               crop=True, crop_size=args.crop)
     steps_per_epoch = max(1, len(dataset) // args.batch)
-    start_epoch = int(state.step) // steps_per_epoch
+    start_epoch = resume_epoch
+    if start_epoch is None:
+        start_epoch = int(state.step) // steps_per_epoch
+        if int(state.step):
+            print(f"[train] warning: checkpoint lacks an epoch record; "
+                  f"inferred start epoch {start_epoch} from step count")
     print(f"[train] {len(dataset)} windows, batch {args.batch}, "
           f"epochs {start_epoch}..{args.epochs}, widths {mopt.widths}")
     logger = MetricsLogger(os.path.join(
@@ -262,9 +275,13 @@ Recurrent denoising autoencoder trained end-to-end inside this framework
 
 - **Data**: {args.train_scenes} randomized Cornell variants
   (scene/randomizer.py, reference create_scene.py distributions) at
-  {args.res}^2, {args.frames} frames/scene x {args.noise_seeds} noise
-  seeds, ground truth {args.gt_spp} spp.  Held-out eval pool:
-  {args.eval_scenes} unseen scenes (different randomizer seed).
+  {args.res}^2, {args.frames} frames/scene x {args.movs} camera pans
+  (the reference's "mov" axis, train.sh:13-30) x {args.noise_seeds}
+  noise seeds, ground truth {args.gt_spp} spp, stored
+  {"uint8 (the reference's 8-bit PNG regime)" if args.quantize else "float32"}.
+  Held-out eval pool: {args.eval_scenes} unseen scenes (different
+  randomizer seed), GT {args.gt_spp_eval} spp (>= the ~2000 spp quality
+  knee, README.md:89).
 - **Training**: {args.epochs} epochs, batch {args.batch} x 7-frame BPTT,
   256^2 aligned crops, Adam 1e-3 + StepLR(25, 0.2), bf16 conv compute.
 - **Loss curves**: `artifacts/{args.prefix}loss_curve.png`; raw JSONL in the run dir.
@@ -299,8 +316,18 @@ def main():
     ap.add_argument("--train-scenes", type=int, default=28)
     ap.add_argument("--eval-scenes", type=int, default=4)
     ap.add_argument("--frames", type=int, default=48)
-    ap.add_argument("--noise-seeds", type=int, default=1)
+    ap.add_argument("--noise-seeds", type=int, default=3)
+    ap.add_argument("--movs", type=int, default=2,
+                    help="camera pans per scene (the reference's 'mov' "
+                         "axis, train.sh:13-30)")
     ap.add_argument("--gt-spp", type=int, default=800)
+    ap.add_argument("--gt-spp-eval", type=int, default=2000,
+                    help="converged GT spp for the held-out eval pool "
+                         "(quality knee ~2000, README.md:89)")
+    ap.add_argument("--quantize", default="u8", choices=("u8", ""),
+                    help="npy storage regime: u8 = the reference's 8-bit "
+                         "PNG data regime at 1/4 footprint (fits the "
+                         "2-pan x 3-seed corpus in HBM); '' = float32")
     ap.add_argument("--epochs", type=int, default=60)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--crop", type=int, default=256)
