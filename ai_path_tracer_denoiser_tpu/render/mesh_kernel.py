@@ -314,8 +314,7 @@ def _build_kernel(n_hyper_batches: int):
 
         @pl.when(jnp.any(root_live))
         def _():
-            jax.lax.fori_loop(0, n_hyper_batches, hyper_batch, 0,
-                              unroll=n_hyper_batches <= 2)
+            jax.lax.fori_loop(0, n_hyper_batches, hyper_batch, 0)
 
         mid = state[7:8, :]
         # winner normal normalized once (mesh_intersect_v:308-309)
@@ -341,11 +340,12 @@ def _mesh_bvh_call(bvh: MeshBVH, rays: jnp.ndarray, interpret: bool):
     assert bvh.n_hypers % FANOUT == 0, bvh.n_hypers
     kernel = _build_kernel(bvh.n_hypers // FANOUT)
     # Root box = union of the (widened) hyper boxes; padding rows carry
-    # inverted boxes so min/max ignore them.
-    root = jnp.concatenate([
+    # inverted boxes so min/max ignore them.  Stored as 8 identical rows —
+    # a full (8, 8) f32 sublane tile; the kernel reads row 0.
+    root = jnp.tile(jnp.concatenate([
         jnp.min(bvh.hyper_bounds[:, 0:3], axis=0),
         jnp.max(bvh.hyper_bounds[:, 3:6], axis=0),
-        jnp.zeros((2,), jnp.float32)]).reshape(1, 8)
+        jnp.zeros((2,), jnp.float32)]).reshape(1, 8), (8, 1))
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
@@ -353,7 +353,13 @@ def _mesh_bvh_call(bvh: MeshBVH, rays: jnp.ndarray, interpret: bool):
         in_specs=[
             pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),      # faces stay in HBM
+            # Faces EXPLICITLY in HBM: pl.ANY let the compiler place small
+            # meshes' face tables in VMEM, and the manual async-copy from a
+            # VMEM-resident ANY ref into the slot scratch faults at runtime
+            # (observed FAILED_PRECONDITION on every sub-3MB mesh while the
+            # 40 MB statue — HBM-forced by size — ran fine).
+            pl.BlockSpec(memory_space=pltpu.ANY if not hasattr(pltpu, "HBM")
+                         else pltpu.HBM),
             vmem(), vmem(), vmem(), vmem(),         # bounds tables + root
         ],
         out_specs=pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),

@@ -159,3 +159,43 @@ def test_psnr_ssim_metrics():
     stack = np.stack([img, small])
     val = ssim(stack, stack.copy())
     assert val == 1.0
+
+
+def test_u8_quantized_frames_roundtrip_and_decode(tmp_path):
+    """The uint8 storage regime (datagen quantize="u8" — the reference's
+    8-bit PNG precision): encode/decode round-trips to within one
+    quantization step on every channel group, and SequenceDataset decodes
+    u8 npy files transparently with the same affines."""
+    from ai_path_tracer_denoiser_tpu.data.datagen import (encode_u8_gt,
+                                                          encode_u8_input)
+    from ai_path_tracer_denoiser_tpu.data.dataset import (SequenceDataset,
+                                                          decode_u8_gt,
+                                                          decode_u8_input)
+
+    rng = np.random.default_rng(0)
+    x = np.empty((16, 16, 10), np.float32)
+    x[..., 0:3] = rng.uniform(0, 1, (16, 16, 3))          # rgb
+    n = rng.normal(size=(16, 16, 3)); n /= np.linalg.norm(n, axis=-1,
+                                                          keepdims=True)
+    x[..., 3:6] = n                                        # unit normals
+    x[..., 6] = rng.uniform(0, 10, (16, 16))               # depth
+    x[..., 7:10] = rng.uniform(0, 1, (16, 16, 3))          # albedo
+    dec = decode_u8_input(encode_u8_input(x))
+    assert np.abs(dec[..., 0:3] - x[..., 0:3]).max() <= 0.5 / 255 + 1e-6
+    assert np.abs(dec[..., 3:6] - x[..., 3:6]).max() <= 1.0 / 255 + 1e-6
+    assert np.abs(dec[..., 6] - x[..., 6]).max() <= 5.0 / 255 + 1e-6
+    y = rng.uniform(0, 1, (16, 16, 3)).astype(np.float32)
+    assert np.abs(decode_u8_gt(encode_u8_gt(y)) - y).max() <= 0.5 / 255 + 1e-6
+
+    # dataset-transparent decode: u8 files come out float32 with the same
+    # values the standalone decoder produces
+    idir, gdir = tmp_path / "input", tmp_path / "gt"
+    idir.mkdir(); gdir.mkdir()
+    for frame in range(7):
+        np.save(idir / f"0_0_0_{frame:04d}.npy", encode_u8_input(x))
+        np.save(gdir / f"0_0_0_{frame:04d}.npy", encode_u8_gt(y))
+    ds = SequenceDataset(str(idir), str(gdir))
+    dx, dy = ds[0]
+    assert dx.dtype == np.float32 and dy.dtype == np.float32
+    np.testing.assert_array_equal(dx[0], dec)
+    np.testing.assert_array_equal(dy[0], decode_u8_gt(encode_u8_gt(y)))
