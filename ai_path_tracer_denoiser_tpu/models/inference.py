@@ -99,24 +99,58 @@ def fold_batchnorm(params: Dict, bn_state: Dict,
 # Fast apply
 # ---------------------------------------------------------------------------
 
-def _conv_act(conv, x, slope, compute_dtype):
+def _conv3x3_mm(x, w):
+    """3x3 SAME conv as 9 shifted matmuls — the MXU path.
+
+    On this TPU toolchain `lax.conv_general_dilated` with NHWC and small
+    channel counts lowers to *direct convolution on the VPU*: the whole
+    denoiser plateaus at ~2.7 TFLOPS (the VPU's f32 peak) regardless of
+    dtype or widths (tools/denoiser_breakdown.py).  Expressing each tap as
+    a (H·W, Cin) @ (Cin, Cout) contraction routes the MACs onto the MXU:
+    one zero-pad, then 9 static slices of the SAME padded buffer feeding
+    `dot_general` accumulations in f32.
+    """
+    n, h, ww, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    acc = None
+    for dy in range(3):
+        for dx in range(3):
+            xs = jax.lax.slice(xp, (0, dy, dx, 0), (n, dy + h, dx + ww, c))
+            part = jax.lax.dot_general(
+                xs, w[dy, dx], (((3,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = part if acc is None else acc + part
+    return acc
+
+
+def _conv_act(conv, x, slope, compute_dtype, impl: str = "auto"):
     """conv3x3 SAME + bias + LeakyReLU, output in ``compute_dtype``.
 
-    The MXU accumulates f32 (preferred_element_type); bias add + LReLU run
-    f32 and XLA fuses them with the final downcast into the conv epilogue,
-    so only the ``compute_dtype`` result is ever materialized in HBM.
+    ``impl``: "matmul" = 9-tap dot_general (MXU), "native" =
+    lax.conv_general_dilated, "auto" = matmul on TPU backends, native
+    elsewhere (CPU XLA's native conv is fine and keeps tests fast).
+    The contraction accumulates f32; bias add + LReLU run f32 and fuse
+    into the epilogue, so only the ``compute_dtype`` result is ever
+    materialized in HBM.
     """
-    y = jax.lax.conv_general_dilated(
-        x.astype(compute_dtype), conv["w"].astype(compute_dtype),
-        window_strides=(1, 1), padding="SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
+    if impl == "auto":
+        impl = "matmul" if jax.default_backend() == "tpu" else "native"
+    xc = x.astype(compute_dtype)
+    wc = conv["w"].astype(compute_dtype)
+    if impl == "matmul":
+        y = _conv3x3_mm(xc, wc)
+    else:
+        y = jax.lax.conv_general_dilated(
+            xc, wc, window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
     return leaky_relu(y + conv["b"], slope).astype(compute_dtype)
 
 
 def apply_frame_fast(folded: Dict, x: jnp.ndarray, hidden: Dict,
                      options: Optional[ModelOptions] = None,
-                     compute_dtype=jnp.bfloat16
+                     compute_dtype=jnp.bfloat16,
+                     conv_impl: str = "auto"
                      ) -> Tuple[jnp.ndarray, Dict]:
     """One frame through the folded conv+LReLU network.
 
@@ -133,36 +167,37 @@ def apply_frame_fast(folded: Dict, x: jnp.ndarray, hidden: Dict,
     _, h, w, _ = x.shape
     if h % 32 or w % 32:
         raise ValueError(f"input {h}x{w} must be divisible by 32")
+    ca = lambda p_, y_: _conv_act(p_, y_, slope, compute_dtype, conv_impl)
     new_hidden = {}
     skips = []
     y = x.astype(compute_dtype)
     for i in range(1, 6):
         p = folded[f"enc{i}"]
-        out1 = _conv_act(p["conv1"], y, slope, compute_dtype)
+        out1 = ca(p["conv1"], y)
         hcat = jnp.concatenate(
             [out1, hidden[f"enc{i}"].astype(compute_dtype)], axis=-1)
-        out2 = _conv_act(p["conv2"], hcat, slope, compute_dtype)
+        out2 = ca(p["conv2"], hcat)
         out2 = (out2 * p["affine2"]["s"] +
                 p["affine2"]["t"]).astype(compute_dtype)
-        out3 = _conv_act(p["conv3"], out2, slope, compute_dtype)
+        out3 = ca(p["conv3"], out2)
         new_hidden[f"enc{i}"] = out3
         y = max_pool_2x2(out3)
         skips.append(y)
 
     p = folded["bottleneck"]
-    out1 = _conv_act(p["conv1"], y, slope, compute_dtype)
+    out1 = ca(p["conv1"], y)
     hcat = jnp.concatenate(
         [out1, hidden["bottleneck"].astype(compute_dtype)], axis=-1)
-    out2 = _conv_act(p["conv2"], hcat, slope, compute_dtype)
-    y = _conv_act(p["conv3"], out2, slope, compute_dtype)
+    out2 = ca(p["conv2"], hcat)
+    y = ca(p["conv3"], out2)
     new_hidden["bottleneck"] = y
 
     for i in range(5, 0, -1):
         p = folded[f"dec{i}"]
         y = jnp.concatenate([y, skips[i - 1]], axis=-1)
         y = upsample_nearest_2x(y)
-        y = _conv_act(p["conv1"], y, slope, compute_dtype)
-        y = _conv_act(p["conv2"], y, slope, compute_dtype)
+        y = ca(p["conv1"], y)
+        y = ca(p["conv2"], y)
     return y.astype(jnp.float32), new_hidden
 
 
@@ -174,7 +209,8 @@ def padded_resolution(h: int, w: int, multiple: int = 32) -> Tuple[int, int]:
 
 def apply_frame_fast_padded(folded: Dict, x: jnp.ndarray, hidden: Dict,
                             options: Optional[ModelOptions] = None,
-                            compute_dtype=jnp.bfloat16
+                            compute_dtype=jnp.bfloat16,
+                            conv_impl: str = "auto"
                             ) -> Tuple[jnp.ndarray, Dict]:
     """``apply_frame_fast`` for resolutions NOT divisible by 32 (e.g. the
     BASELINE north-star 1920x1080: H pads 1080 -> 1088).
@@ -192,7 +228,8 @@ def apply_frame_fast_padded(folded: Dict, x: jnp.ndarray, hidden: Dict,
     if (hp, wp) != (h, w):
         x = jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)),
                     mode="edge")
-    y, hidden = apply_frame_fast(folded, x, hidden, options, compute_dtype)
+    y, hidden = apply_frame_fast(folded, x, hidden, options, compute_dtype,
+                                 conv_impl)
     return y[:, :h, :w, :], hidden
 
 

@@ -42,14 +42,47 @@ def bn_state_init(c: int):
             "var": jnp.ones((c,), jnp.float32)}
 
 
+def _conv_sum_taps(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """kxk SAME conv as k² shifted (N·H·W, Cin) @ (Cin, Cout) matmuls.
+
+    The MXU path: this toolchain lowers `lax.conv_general_dilated` with
+    NHWC and sub-128 channel counts to direct convolution on the VPU
+    (~2.7 TFLOPS ceiling — tools/denoiser_breakdown.py); expressed as
+    dot_generals the same MACs ride the systolic array.  One zero-pad,
+    then k² static slices of the SAME padded buffer.  Partials round to
+    the operand dtype per tap (the channel reduction inside each dot still
+    accumulates f32 on the MXU) and sum in f32 — under AD each tap's
+    transpose is another dot_general, so the backward pass is MXU-bound
+    too.
+    """
+    n, h, ww, c = x.shape
+    kh, kw = w.shape[0], w.shape[1]
+    ph, pw = kh // 2, kw // 2
+    acc_dt = jnp.promote_types(x.dtype, jnp.float32)   # f32; f64 under x64
+    xp = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+    acc = None
+    for dy in range(kh):
+        for dx in range(kw):
+            xs = jax.lax.slice(xp, (0, dy, dx, 0), (n, dy + h, dx + ww, c))
+            part = jax.lax.dot_general(
+                xs, w[dy, dx], (((3,), (0,)), ((), ()))).astype(acc_dt)
+            acc = part if acc is None else acc + part
+    return acc
+
+
 def conv2d(params, x: jnp.ndarray, bf16: bool = False,
-           spatial_axis: Optional[str] = None) -> jnp.ndarray:
+           spatial_axis: Optional[str] = None,
+           impl: str = "auto") -> jnp.ndarray:
     """3x3 (or kxk) SAME conv, NHWC/HWIO.
 
     With ``spatial_axis`` set (inside shard_map, H sharded over that mesh
     axis), a halo exchange via ppermute supplies the neighbor rows so the
     sharded result is bitwise-equivalent to the unsharded SAME conv — the
     context-parallel analogue for conv nets (SURVEY.md §2 SP row).
+
+    ``impl``: "matmul" = shifted-dot_general MXU path (`_conv_sum_taps`),
+    "native" = lax.conv, "auto" = matmul on TPU (where native conv runs on
+    the VPU at ~2.7 TFLOPS), native elsewhere.
     """
     w = params["w"]
     if bf16:
@@ -62,6 +95,15 @@ def conv2d(params, x: jnp.ndarray, bf16: bool = False,
         pref = None
     else:
         pref = _pref_dtype(x)
+    if impl == "auto":
+        import os
+        impl = os.environ.get(
+            "APTD_CONV_IMPL",
+            "matmul" if jax.default_backend() == "tpu" else "native")
+    if spatial_axis is None and impl == "matmul":
+        # _conv_sum_taps already yields the f32 (f64 under x64) accumulator
+        # the bias add below expects in both bf16 and full-precision modes
+        return _conv_sum_taps(x, w) + params["b"]
     if spatial_axis is None:
         y = jax.lax.conv_general_dilated(
             x, w, window_strides=(1, 1), padding="SAME",

@@ -182,3 +182,22 @@ def test_padded_inference_non_divisible_resolution():
     y_ref, _ = apply_frame_fast(folded, xp, hidden, OPTS,
                                 compute_dtype=jnp.float32)
     np.testing.assert_array_equal(np.asarray(y), np.asarray(y_ref)[:, :h, :w])
+
+
+def test_matmul_conv_impl_matches_native():
+    """conv_impl="matmul" (the 9-tap dot_general MXU path used on TPU)
+    reproduces conv_impl="native" through the whole folded network to
+    accumulation-order rounding."""
+    params, bn_state = _nontrivial_model()
+    folded = prepare_inference(params, bn_state, OPTS,
+                               compute_dtype=jnp.float32)
+    x = jax.random.uniform(jax.random.PRNGKey(5), (1, 64, 64, 10))
+    hidden = init_hidden(1, 64, 64, OPTS)
+    y_nat, _ = apply_frame_fast(folded, x, hidden, OPTS,
+                                compute_dtype=jnp.float32,
+                                conv_impl="native")
+    y_mm, _ = apply_frame_fast(folded, x, hidden, OPTS,
+                               compute_dtype=jnp.float32,
+                               conv_impl="matmul")
+    np.testing.assert_allclose(np.asarray(y_mm), np.asarray(y_nat),
+                               rtol=2e-4, atol=2e-4)
