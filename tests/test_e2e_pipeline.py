@@ -33,7 +33,9 @@ def test_full_pipeline(tmp_path):
     _run(["datagen", scene, "--out-dir", "data", "--frames", "8",
           "--gt-spp", "4", "--res", "32", "--platform", "cpu"], d)
     inputs = os.listdir(os.path.join(d, "data", "input"))
-    assert len(inputs) == 8
+    # datagen defaults to TWO camera pans (the reference's mov axis)
+    assert len(inputs) == 8 * 2
+    assert any("_1_0_" in f for f in inputs)   # second pan present
     x = np.load(os.path.join(d, "data", "input", inputs[0]))
     assert x.shape == (32, 32, 10)
 
