@@ -37,6 +37,11 @@ class RenderOptions:
     # Ignored for differentiable renders (the kernel has no VJP) and for
     # meshes loaded without a hierarchy.
     mesh_bvh: bool = True
+    # Sort secondary rays by direction octant before the BVH kernel so each
+    # 128-lane subtile descends a coherent node set (pure permutation
+    # round-trip — bitwise-identical images).  Costs two argsorts/bounce;
+    # wins only on large meshes with incoherent bounces.
+    mesh_octant_sort: bool = False
 
     # --- effects (pathtrace.cu:25-28) ---
     antialias: bool = True            # sub-pixel jitter, pathtrace.cu:168-173

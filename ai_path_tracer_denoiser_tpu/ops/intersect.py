@@ -344,7 +344,8 @@ def intersect_scene_v(geoms: Geoms, mesh: MeshData, o: Vec3, d: Vec3,
                       ray_culling: bool = True, face_chunk: int = 16,
                       types: Optional[Tuple[int, ...]] = None,
                       use_bvh: Optional[bool] = None,
-                      active: Optional[jnp.ndarray] = None):
+                      active: Optional[jnp.ndarray] = None,
+                      octant_sort: bool = False):
     """Closest-hit query (SoA): dict with planes/Vec3 values; t==-1 on miss.
 
     ``use_bvh``: route the mesh through the Pallas cluster-BVH kernel
@@ -353,6 +354,12 @@ def intersect_scene_v(geoms: Geoms, mesh: MeshData, o: Vec3, d: Vec3,
     callers taking gradients must pass False.
     ``active``: optional per-ray liveness; dead lanes skip all BVH work
     (the scan path computes them regardless, masked later by shading).
+    ``octant_sort``: permute rays by direction octant before the BVH
+    kernel (and invert after) so each 128-lane subtile sees
+    direction-coherent rays — incoherent secondary bounces then descend a
+    much smaller union of tree nodes per subtile.  Costs two argsorts +
+    gathers per query; a pure permutation round-trip, so results are
+    unchanged bit-for-bit.
     """
     t_g, p_g, n_g, out_g, mat_g = intersect_geoms_v(geoms, o, d, types)
 
@@ -373,9 +380,29 @@ def intersect_scene_v(geoms: Geoms, mesh: MeshData, o: Vec3, d: Vec3,
                 t_cull = jnp.where(cull, t_cull, -jnp.inf)
             if active is not None:
                 t_cull = jnp.where(active, t_cull, -jnp.inf)
-            t_m, p_m, n_m, mat_m = mesh_intersect_bvh(
-                mesh.bvh, o, d, t_cull,
-                interpret=jax.default_backend() != "tpu")
+            if octant_sort:
+                # stable octant key keeps pixel-order (origin) locality
+                # within each direction bucket
+                key = ((d.x < 0).astype(jnp.int32) * 4
+                       + (d.y < 0).astype(jnp.int32) * 2
+                       + (d.z < 0).astype(jnp.int32))
+                # dead lanes to the back so live subtiles stay dense
+                key = jnp.where(t_cull == -jnp.inf, jnp.int32(8), key)
+                perm = jnp.argsort(key, stable=True)
+                os_ = Vec3(o.x[perm], o.y[perm], o.z[perm])
+                ds_ = Vec3(d.x[perm], d.y[perm], d.z[perm])
+                t_m, p_m, n_m, mat_m = mesh_intersect_bvh(
+                    mesh.bvh, os_, ds_, t_cull[perm],
+                    interpret=jax.default_backend() != "tpu")
+                inv = jnp.argsort(perm)
+                t_m = t_m[inv]
+                p_m = Vec3(p_m.x[inv], p_m.y[inv], p_m.z[inv])
+                n_m = Vec3(n_m.x[inv], n_m.y[inv], n_m.z[inv])
+                mat_m = mat_m[inv]
+            else:
+                t_m, p_m, n_m, mat_m = mesh_intersect_bvh(
+                    mesh.bvh, o, d, t_cull,
+                    interpret=jax.default_backend() != "tpu")
         else:
             t_m, p_m, n_m, mat_m = mesh_intersect_v(mesh, o, d, face_chunk)
             if ray_culling:

@@ -312,9 +312,14 @@ def trace_iteration(scene: Scene, options: RenderOptions,
     # ---- remaining bounces ----
     def bounce(carry, _=None):
         ray_o, ray_d, color, remaining, pixel_index = carry
+        # Octant coherence sorting applies to SECONDARY rays only —
+        # primaries are already pixel-coherent and would pay the argsorts
+        # for nothing.
         isect = intersect_scene_v(geoms, scene.mesh, ray_o, ray_d,
                                   ray_culling=options.ray_culling,
-                                  use_bvh=use_bvh, active=remaining != 0)
+                                  use_bvh=use_bvh, active=remaining != 0,
+                                  octant_sort=options.mesh_octant_sort
+                                  and use_bvh)
         ray_o, ray_d, color, remaining = _shade(
             scene, options, iteration, isect, ray_d, color, remaining,
             pixel_offset)

@@ -186,3 +186,21 @@ def test_translate_mesh_shifts_bvh_rigidly():
     assert np.array_equal(np.asarray(t_ref), np.asarray(t_k))
     assert np.array_equal(np.asarray(m_ref), np.asarray(m_k))
     assert np.isfinite(np.asarray(t_k)).any()
+
+
+def test_octant_sort_is_bitwise_identity():
+    """octant_sort permutes rays before the kernel and inverts after — the
+    result must be bit-for-bit the unsorted query's."""
+    from ai_path_tracer_denoiser_tpu.ops.intersect import intersect_scene_v
+    from ai_path_tracer_denoiser_tpu.scene import load_scene
+
+    scene = load_scene("scenes/cornell_mesh_icosphere.txt")
+    assert scene.mesh.bvh is not None
+    ov, dv = _rays(640, seed=11)
+    a = intersect_scene_v(scene.geoms, scene.mesh, ov, dv, octant_sort=False)
+    b = intersect_scene_v(scene.geoms, scene.mesh, ov, dv, octant_sort=True)
+    for k in ("t", "material_id"):
+        assert np.array_equal(np.asarray(a[k]), np.asarray(b[k])), k
+    for ca, cb_ in ((a["point"], b["point"]), (a["normal"], b["normal"])):
+        for pa, pb in ((ca.x, cb_.x), (ca.y, cb_.y), (ca.z, cb_.z)):
+            assert np.array_equal(np.asarray(pa), np.asarray(pb))
