@@ -236,16 +236,33 @@ def bench_train_step():
 
 
 def main():
-    rates = bench_render()
-    mrays = rates[len(rates) // 2]
+    import traceback
+
+    def guard(fn, default):
+        """One faulty subsystem must not kill the whole benchmark record
+        (the tunneled backend can wedge mid-run); its row reports null."""
+        try:
+            return fn()
+        except Exception:
+            traceback.print_exc()
+            return default
+
+    rates = bench_render()          # headline: no guard — a dead renderer
+    mrays = rates[len(rates) // 2]  # SHOULD fail the bench loudly
     baseline_mrays = (WIDTH * HEIGHT) / REFERENCE_SECONDS_PER_FRAME / 1e6
-    den, den_1080 = bench_denoiser()
-    tr = bench_train_step()
-    mesh = bench_mesh_bvh()
-    inter = bench_interactive()
+    den, den_1080 = guard(bench_denoiser, ([float("nan")], [float("nan")]))
+    tr = guard(bench_train_step, [float("nan")])
+    mesh = guard(bench_mesh_bvh,
+                 {k: [float("nan")] for k in ("statue", "statue_d1", "blob")})
+    inter = guard(bench_interactive, [float("nan")])
 
     def med_ms(ts):
-        return round(ts[len(ts) // 2] * 1e3, 3)
+        v = ts[len(ts) // 2] * 1e3
+        return None if v != v else round(v, 3)
+
+    def ratio(ref_s, ts):
+        v = ref_s / ts[len(ts) // 2]
+        return None if v != v else round(v, 2)
 
     print(json.dumps({
         "metric": "pt_1spp_Mrays_per_s_per_chip",
@@ -255,16 +272,14 @@ def main():
         "extra": {
             "render_Mrays_min_max": [round(rates[0], 3), round(rates[-1], 3)],
             "denoise_832sq_ms_median": med_ms(den),
-            "denoise_vs_baseline": round(
-                REFERENCE_DENOISE_SECONDS / den[len(den) // 2], 2),
+            "denoise_vs_baseline": ratio(REFERENCE_DENOISE_SECONDS, den),
             "denoise_1080p_ms_median": med_ms(den_1080),
             "interactive_800sq_ms_median": med_ms(inter),
-            "interactive_vs_baseline": round(
-                (REFERENCE_SECONDS_PER_FRAME + REFERENCE_DENOISE_SECONDS)
-                / inter[len(inter) // 2], 2),
+            "interactive_vs_baseline": ratio(
+                REFERENCE_SECONDS_PER_FRAME + REFERENCE_DENOISE_SECONDS,
+                inter),
             "train_step_ms_median": med_ms(tr),
-            "train_step_vs_baseline": round(
-                REFERENCE_TRAIN_STEP_SECONDS / tr[len(tr) // 2], 2),
+            "train_step_vs_baseline": ratio(REFERENCE_TRAIN_STEP_SECONDS, tr),
             "statue_81920faces_1spp_ms_median": med_ms(mesh["statue"]),
             "statue_depth1_ms_median": med_ms(mesh["statue_d1"]),
             "blob_5120faces_1spp_ms_median": med_ms(mesh["blob"]),

@@ -29,6 +29,9 @@ def main():
         rec = json.loads(f.read().strip().splitlines()[-1])
     x = rec["extra"]
     mrays = rec["value"]
+
+    def ok(v):
+        return v is not None and v == v
     trace_ms = 800 * 800 / (mrays * 1e6) * 1e3
     den = x["denoise_832sq_ms_median"]
     inter = x["interactive_800sq_ms_median"]
@@ -54,20 +57,20 @@ def main():
          f"{REF_TRAIN_MS:.1f} ms", f"{tr:.1f} ms",
          f"**{REF_TRAIN_MS / tr:.1f}×**"),
     ]
-    if den1080 is not None:
+    if ok(den1080):
         rows.append(("Denoiser inference 1920×1080 (pad-and-crop)",
                      "n/a (reference asserts square, pathtrace.cu:426)",
                      f"{den1080:.1f} ms", "—"))
     mesh_rows = []
-    if blob is not None:
+    if ok(blob):
         mesh_rows.append(("5,120-face blob, 1spp 800² frame",
                           "unreachable (brute-force loop)",
                           f"{blob:.1f} ms", "—"))
-    if statue is not None:
+    if ok(statue):
         mesh_rows.append(("81,920-face statue, 1spp 800² frame (depth 8)",
                           "unreachable (brute-force loop)",
                           f"{statue:.1f} ms", "—"))
-    if statue_d1 is not None:
+    if ok(statue_d1):
         mesh_rows.append(("81,920-face statue, primary rays only (depth 1)",
                           "unreachable", f"{statue_d1:.1f} ms", "—"))
 
