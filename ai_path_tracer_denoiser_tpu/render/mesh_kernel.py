@@ -129,7 +129,14 @@ def _slab_live(rows, o: Vec3, inv: Vec3, t_run):
 
 def _build_kernel(n_hyper_batches: int):
     def kernel(rays_ref, faces_ref, cb_ref, sb_ref, hb_ref, root_ref,
-               out_ref, state, fscratch, fsem, sm_h, sm_s):
+               out_ref, state, *scr):
+        # 8 SEPARATE 2D face slabs + 8 SCALAR DMA semaphores (r2's proven
+        # combination): a single 3D slot scratch with a semaphore array
+        # (`scratch.at[slot]` / `sem.at[slot]`) faulted at runtime on real
+        # hardware for every small mesh this round.
+        fbufs, fsems = scr[0:FANOUT], scr[FANOUT:2 * FANOUT]
+        sm_h, sm_s, sm_c = (scr[2 * FANOUT], scr[2 * FANOUT + 1],
+                            scr[2 * FANOUT + 2])
         # rays_ref block: (1, 8, LANES) — rows 0-6 are ox oy oz dx dy dz
         # t_cull (row 7 pad).  Row slices give (1, LANES) planes.
         o = Vec3(rays_ref[0, 0:1, :], rays_ref[0, 1:2, :], rays_ref[0, 2:3, :])
@@ -166,7 +173,7 @@ def _build_kernel(n_hyper_batches: int):
         def cluster_dma(k, slot):
             return pltpu.make_async_copy(
                 faces_ref.at[pl.ds(k * CLUSTER, CLUSTER), :],
-                fscratch.at[slot], fsem.at[slot])
+                fbufs[slot], fsems[slot])
 
         def mt_cluster(slot, k):
             """One (CLUSTER, LANES) Moller-Trumbore block + one-hot winner.
@@ -182,7 +189,7 @@ def _build_kernel(n_hyper_batches: int):
             """
             t_run = state[0:1, :]
             k_run = state[8:9, :]
-            vb = fscratch[slot]                              # (32, 128)
+            vb = fbufs[slot][:]                              # (32, 128)
             v0 = Vec3(vb[:, 0:1], vb[:, 1:2], vb[:, 2:3])    # (32, 1)
             v1 = Vec3(vb[:, 3:4], vb[:, 4:5], vb[:, 5:6])
             v2 = Vec3(vb[:, 6:7], vb[:, 7:8], vb[:, 8:9])
@@ -250,7 +257,6 @@ def _build_kernel(n_hyper_batches: int):
             ents = batch_entries(cb_ref, base)
             vals, idx = _sort8(ents) if _MK_SORT else \
                 (ents, [jnp.int32(i) for i in range(FANOUT)])
-            started = [None] * FANOUT
 
             def start(i):
                 k = base + idx[i]
@@ -259,9 +265,14 @@ def _build_kernel(n_hyper_batches: int):
                     live = _slab_live(cb_ref[pl.ds(k, 1), :], o, inv,
                                       state[0:1, :])
                     pred = pred & jnp.any(live)
-                started[i] = pred
+                # Predicates that GUARD A DMA go through an SMEM round
+                # trip: every on-hardware failure this round predicated a
+                # DMA directly on a vector-reduce result; every passing
+                # variant staged the predicate through scalar memory
+                # first.  (Also gives the wait the exact start predicate.)
+                sm_c[i] = pred.astype(jnp.int32)
 
-                @pl.when(pred)
+                @pl.when(sm_c[i] != 0)
                 def _():
                     cluster_dma(k, i).start()
 
@@ -271,15 +282,16 @@ def _build_kernel(n_hyper_batches: int):
                 if i + PIPELINE < FANOUT:
                     start(i + PIPELINE)
 
-                @pl.when(started[i])
+                @pl.when(sm_c[i] != 0)
                 def _(i=i):
                     k = base + idx[i]
                     cluster_dma(k, i).wait()
                     if _MK_RETEST:
                         live2 = _slab_live(cb_ref[pl.ds(k, 1), :], o, inv,
                                            state[0:1, :])
+                        sm_c[FANOUT + i] = jnp.any(live2).astype(jnp.int32)
 
-                        @pl.when(jnp.any(live2))
+                        @pl.when(sm_c[FANOUT + i] != 0)
                         def _():
                             mt_cluster(i, k)
                     else:
@@ -309,10 +321,12 @@ def _build_kernel(n_hyper_batches: int):
             return 0
 
         # Whole-mesh root gate: dead subtiles (every lane culled by t_cull
-        # or aimed away) pay one (1, LANES) slab test and exit.
+        # or aimed away) pay one (1, LANES) slab test and exit.  The gate
+        # predicate transitively guards DMAs -> SMEM round trip (above).
         root_live = _slab_live(root_ref[0:1, :], o, inv, state[0:1, :])
+        sm_c[2 * FANOUT] = jnp.any(root_live).astype(jnp.int32)
 
-        @pl.when(jnp.any(root_live))
+        @pl.when(sm_c[2 * FANOUT] != 0)
         def _():
             jax.lax.fori_loop(0, n_hyper_batches, hyper_batch, 0)
 
@@ -365,13 +379,15 @@ def _mesh_bvh_call(bvh: MeshBVH, rays: jnp.ndarray, interpret: bool):
         out_specs=pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles, 8, LANES), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((16, LANES), jnp.float32),            # running state
-            pltpu.VMEM((FANOUT, CLUSTER, 128), jnp.float32),  # DMA slots
-            pltpu.SemaphoreType.DMA((FANOUT,)),
-            pltpu.SMEM((2 * FANOUT,), jnp.int32),   # hyper visit order
-            pltpu.SMEM((2 * FANOUT,), jnp.int32),   # super visit order
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((16, LANES), jnp.float32)]           # running state
+            + [pltpu.VMEM((CLUSTER, 128), jnp.float32)       # 8 face slabs
+               for _ in range(FANOUT)]
+            + [pltpu.SemaphoreType.DMA(()) for _ in range(FANOUT)]
+            + [pltpu.SMEM((2 * FANOUT,), jnp.int32),  # hyper visit order
+               pltpu.SMEM((2 * FANOUT,), jnp.int32),  # super visit order
+               pltpu.SMEM((2 * FANOUT + 1,), jnp.int32)]  # DMA predicates
+        ),
         interpret=interpret,
     )(rays, bvh.faces_packed,
       bvh.cluster_bounds, bvh.super_bounds, bvh.hyper_bounds, root)
