@@ -7,44 +7,27 @@ work as dense VPU math — fine at the reference's 12-60 faces, ~3 s/frame
 at 5K faces, hopeless at bunny scale.
 
 This kernel keeps the *arithmetic* of that scan (identical Moller-Trumbore
-blocks, identical one-hot winner extraction, identical running-min merge)
-but adds what XLA cannot express cheaply: **data-dependent skipping**.
-Traversal structure (v3):
+blocks, identical one-hot winner extraction, identical running-min merge —
+so results are bitwise equal) but adds what XLA cannot express cheaply:
+**data-dependent skipping**.  Mosaic's scalar core runs real branches in
+nanoseconds, so traversal is three nested ``fori_loop``s over the dense
+AABB levels (hyper -> super -> cluster) where each node is tested against
+the whole ray tile at full VPU width and descended only when
+``jax.lax.cond`` sees any live lane:
 
-  grid      = subtiles of LANES (128) rays; ray planes are (1, 128) rows.
-    A small granule is the whole game for incoherent secondary rays: a
-    node is skipped unless one of *128* rays wants it, not one of 1024
-    (the r2 kernel's tile-wide gate degenerated to a serial walk of every
-    cluster once a diffuse bounce decoheres the tile).
-  node test = 8 sibling AABBs per batch as one (8, 128) slab test; per-
-    sibling liveness and minimum entry distance come out as 8 scalars.
-  ordering  = siblings are visited FRONT-TO-BACK: an 8-element sorting
-    network (19 compare-exchanges on the scalar core) orders them by their
-    subtile-minimum entry distance.  This is what makes the per-lane
-    ``entry < t_run`` cull effective: the nearest cluster's hit tightens
-    t_run before its occluded siblings are even re-tested, so the far tail
-    of every batch dies unvisited.  Order affects which *work* happens,
-    never the result (see tie-break note below).
-  leaf      = per live cluster, in sorted order: async DMA of its (32,128)
-    face slab from HBM into one of 8 VMEM slots with a depth-
-    ``PIPELINE`` lookahead (fetch latency overlaps the previous siblings'
-    arithmetic), a *re-test* against the now-tighter t_run (skips both
-    the MT block and, at start time, the tail DMAs), then one
-    (32, LANES) Moller-Trumbore block.
-
-Exactness: every cull is conservative (widened boxes, NaN-proof slab
-test, strict-< running-t comparisons), and the winner merge breaks exact
-f32 t-ties by cluster index — the dense scan's iteration order — so
-results are bitwise equal to ``mesh_intersect_v`` *regardless of visit
-order* (tests/test_bvh.py).
+  grid      = tiles of LANES (1024) rays; ray planes are (1, LANES) rows
+  node test = 6 scalar reads + a (1, LANES) slab test + any-reduce
+  leaf      = one (32, LANES) MT block vs the cluster's faces (faces on
+              sublanes, rays on lanes — the mesh_intersect_v layout)
 
 Two per-ray culls make secondary bounces cheap: a node is only descended
 for lanes whose AABB *entry* distance beats the running best t, and the
 running t is seeded with the analytic-geom hit (``t_cull``) — a diffuse
 bounce that hits a wall before the mesh skips the whole tree.
 
-Face data stays in HBM ((F, 128) packed rows); only the bounds tables are
-VMEM-resident (~16 B/face), so mesh size is HBM-bound, not VMEM-bound.
+Face data stays in HBM ((F, 128) packed rows) and each visited cluster is
+DMA'd to a VMEM scratch slab; only the bounds tables are VMEM-resident
+(~16 B/face), so mesh size is HBM-bound, not VMEM-bound.
 """
 from __future__ import annotations
 
@@ -61,53 +44,26 @@ from ..ops.bvh import CLUSTER, FANOUT, MeshBVH
 from ..ops.intersect import _triangle_t
 from ..ops.vec3 import Vec3
 
-import os as _os
-
-LANES = 128             # rays per grid program (one f32 lane row)
-PIPELINE = int(_os.environ.get("APTD_MK_PIPELINE", "3"))
-_MK_SORT = _os.environ.get("APTD_MK_SORT", "1") == "1"
-_MK_RETEST = _os.environ.get("APTD_MK_RETEST", "1") == "1"
+LANES = 1024            # rays per grid program (8 native f32 rows)
 _INF = np.float32(np.inf)
 
 # VMEM holds only the bounds tables (~16 B/face); faces stream from HBM.
 # The cap is a sanity bound on the cluster table (2 MB at 1M faces).
 MAX_KERNEL_FACES = 1_000_000
 
-# Batcher odd-even merge sort network for 8 elements (19 comparators).
-_NET8 = ((0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3), (4, 6), (5, 7),
-         (1, 2), (5, 6), (0, 4), (3, 7), (1, 5), (2, 6), (1, 4), (3, 6),
-         (2, 4), (3, 5), (3, 4))
 
-
-def _sort8(vals):
-    """Sort 8 traced scalars ascending; returns (vals, original indices).
-
-    Pure scalar-core compare-exchanges — no vector ops, no memory.
-    """
-    vals = list(vals)
-    idx = [jnp.int32(i) for i in range(FANOUT)]
-    for a, b in _NET8:
-        swap = vals[a] > vals[b]
-        va = jnp.where(swap, vals[b], vals[a])
-        vb = jnp.where(swap, vals[a], vals[b])
-        ia = jnp.where(swap, idx[b], idx[a])
-        ib = jnp.where(swap, idx[a], idx[b])
-        vals[a], vals[b], idx[a], idx[b] = va, vb, ia, ib
-    return vals, idx
-
-
-def _slab_entry(rows, o: Vec3, inv: Vec3):
-    """(R, 8) AABB rows vs a (1, LANES) ray tile -> (tmin, tmax) (R, LANES).
+def _slab_live(row, o: Vec3, inv: Vec3, t_run):
+    """Ray tile vs one AABB: live = hit & entry-closer-than-current-best.
 
     Same slab formulation as ops/intersect.py:ray_aabb_intersect_v (which
-    mirrors intersections.h:175-200).  Rows are [lbx lby lbz ubx uby ubz _ _].
+    mirrors intersections.h:175-200), plus the entry-distance cull.
+    ``row`` is a (1, 8) bounds row [lbx lby lbz ubx uby ubz _ _].
     """
-    shape = (rows.shape[0], o.x.shape[-1])
-    tmin = jnp.full(shape, -_INF)
-    tmax = jnp.full(shape, _INF)
+    tmin = jnp.full_like(t_run, -_INF)
+    tmax = jnp.full_like(t_run, _INF)
     for axis, (oc, ic) in enumerate(((o.x, inv.x), (o.y, inv.y), (o.z, inv.z))):
-        t1 = (rows[:, axis:axis + 1] - oc) * ic
-        t2 = (rows[:, axis + 3:axis + 4] - oc) * ic
+        t1 = (row[0, axis] - oc) * ic
+        t2 = (row[0, axis + 3] - oc) * ic
         lo = jnp.minimum(t1, t2)
         hi = jnp.maximum(t1, t2)
         # 0 * inf = NaN (origin exactly on a node bound with a zero
@@ -118,25 +74,12 @@ def _slab_entry(rows, o: Vec3, inv: Vec3):
         hi = jnp.where(jnp.isnan(hi), _INF, hi)
         tmin = jnp.maximum(tmin, lo)
         tmax = jnp.minimum(tmax, hi)
-    return tmin, tmax
-
-
-def _slab_live(rows, o: Vec3, inv: Vec3, t_run):
-    """(R, 8) rows -> (R, LANES) liveness: hit & entry beats running t."""
-    tmin, tmax = _slab_entry(rows, o, inv)
     return (tmax >= tmin) & (tmax >= 0.0) & (jnp.maximum(tmin, 0.0) < t_run)
 
 
-def _build_kernel(n_hyper_batches: int):
-    def kernel(rays_ref, faces_ref, cb_ref, sb_ref, hb_ref, root_ref,
-               out_ref, state, *scr):
-        # 8 SEPARATE 2D face slabs + 8 SCALAR DMA semaphores (r2's proven
-        # combination): a single 3D slot scratch with a semaphore array
-        # (`scratch.at[slot]` / `sem.at[slot]`) faulted at runtime on real
-        # hardware for every small mesh this round.
-        fbufs, fsems = scr[0:FANOUT], scr[FANOUT:2 * FANOUT]
-        sm_h, sm_s, sm_c = (scr[2 * FANOUT], scr[2 * FANOUT + 1],
-                            scr[2 * FANOUT + 2])
+def _build_kernel(n_hypers: int):
+    def kernel(rays_ref, faces_ref, cb_ref, sb_ref, hb_ref, out_ref,
+               state, fscratch, fsem):
         # rays_ref block: (1, 8, LANES) — rows 0-6 are ox oy oz dx dy dz
         # t_cull (row 7 pad).  Row slices give (1, LANES) planes.
         o = Vec3(rays_ref[0, 0:1, :], rays_ref[0, 1:2, :], rays_ref[0, 2:3, :])
@@ -144,52 +87,31 @@ def _build_kernel(n_hyper_batches: int):
         t_ub = rays_ref[0, 6:7, :]
         inv = Vec3(1.0 / d.x, 1.0 / d.y, 1.0 / d.z)
 
-        # Running state in VMEM scratch (rows: t_run, p.xyz, n.xyz,
-        # mat-as-f32, winner-cluster-as-f32) so the descent is pure
-        # `pl.when` predication — no value-carrying conds.
+        # Running state lives in a VMEM scratch (rows: t_run, p.xyz, n.xyz,
+        # mat-as-f32) so the descent is pure `pl.when` predication — no
+        # value-carrying conds, the native Mosaic idiom.
         zero = jnp.zeros_like(t_ub)
         state[0:1, :] = t_ub
         for r in range(1, 7):
             state[r:r + 1, :] = zero
         state[7:8, :] = zero - 1.0
-        state[8:9, :] = zero - _INF     # winner cluster; -inf = "none yet"
 
-        def batch_entries(b_ref, base):
-            """Liveness + per-sibling min entry for rows [base, base+8).
-
-            Returns 8 scalar entry distances (+inf where no lane is live):
-            one (8, LANES) vectorized slab test, then one (1, LANES)->
-            scalar reduce per sibling (Mosaic lowers whole-row reduces to
-            scalars; element extraction from a computed vector does not
-            lower).
-            """
-            rows = b_ref[pl.ds(base, FANOUT), :]
-            tmin, tmax = _slab_entry(rows, o, inv)
-            entry = jnp.maximum(tmin, 0.0)
-            live = (tmax >= tmin) & (tmax >= 0.0) & (entry < state[0:1, :])
-            masked = jnp.where(live, entry, _INF)        # (8, LANES)
-            return [jnp.min(masked[c:c + 1, :]) for c in range(FANOUT)]
-
-        def cluster_dma(k, slot):
-            return pltpu.make_async_copy(
-                faces_ref.at[pl.ds(k * CLUSTER, CLUSTER), :],
-                fbufs[slot], fsems[slot])
-
-        def mt_cluster(slot, k):
+        def mt_cluster(k):
             """One (CLUSTER, LANES) Moller-Trumbore block + one-hot winner.
 
             Identical math to mesh_intersect_v's scan_body (faces on
             sublanes, first-minimal face wins, point via rotated
             barycentrics / normal via standard, intersections.h:166-168).
-            The cross-cluster merge replicates the scan's ascending-k
-            iteration: strictly smaller t wins; an exact f32 t-tie goes to
-            the smaller cluster index.  (-inf "none yet" sentinel makes a
-            tie against the t_cull seed lose, as it must: the scene merge
-            takes the mesh only on strict <, intersect.py:386.)
             """
             t_run = state[0:1, :]
-            k_run = state[8:9, :]
-            vb = fbufs[slot][:]                              # (32, 128)
+            f0 = k * CLUSTER
+            # faces live in HBM (a resident VMEM copy caps mesh size);
+            # DMA the visited cluster's contiguous (32, 128) slab.
+            dma = pltpu.make_async_copy(
+                faces_ref.at[pl.ds(f0, CLUSTER), :], fscratch, fsem)
+            dma.start()
+            dma.wait()
+            vb = fscratch[:]                                 # (32, 128)
             v0 = Vec3(vb[:, 0:1], vb[:, 1:2], vb[:, 2:3])    # (32, 1)
             v1 = Vec3(vb[:, 3:4], vb[:, 4:5], vb[:, 5:6])
             v2 = Vec3(vb[:, 6:7], vb[:, 7:8], vb[:, 8:9])
@@ -202,9 +124,7 @@ def _build_kernel(n_hyper_batches: int):
             rows = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
             cand = jnp.where(ismin, rows, jnp.int32(CLUSTER))
             first = rows == jnp.min(cand, axis=0, keepdims=True)
-            k_f = jnp.full_like(t_run, 0.0) + k.astype(jnp.float32)
-            better = (tmin < t_run) | ((tmin == t_run) & (k_f < k_run)
-                                       & (tmin < _INF))
+            better = tmin < t_run                            # strict: earlier face keeps ties
 
             n0 = Vec3(vb[:, 9:10], vb[:, 10:11], vb[:, 11:12])
             n1 = Vec3(vb[:, 12:13], vb[:, 13:14], vb[:, 14:15])
@@ -219,116 +139,39 @@ def _build_kernel(n_hyper_batches: int):
             mb = vb[:, 18:19]                    # (32, 1) material id as f32
             m_c = jnp.sum(jnp.where(first, mb, 0.0), axis=0, keepdims=True)
             news = (tmin, sel(p_full.x), sel(p_full.y), sel(p_full.z),
-                    sel(n_full.x), sel(n_full.y), sel(n_full.z), m_c, k_f)
+                    sel(n_full.x), sel(n_full.y), sel(n_full.z), m_c)
             for r, val in enumerate(news):
                 state[r:r + 1, :] = jnp.where(better, val, state[r:r + 1, :])
 
-        def sorted_to_smem(sm, b_ref, base):
-            """Sort the 8 children at ``base`` front-to-back into SMEM.
+        def clusters_of(s, c):
+            k = s * FANOUT + c
+            live = _slab_live(cb_ref[pl.ds(k, 1), :], o, inv, state[0:1, :])
 
-            sm[i] = child index (0-7) of the i-th nearest sibling,
-            sm[8+i] = 1 if that sibling has any live lane.  Writing the
-            order to SMEM lets every level's visit loop be a DYNAMIC
-            ``fori_loop`` — each level's body is inlined exactly once
-            (a statically-unrolled pl.when chain would inline the whole
-            subtree 8x per level: 512 MT blocks, unbuildable).
-            """
-            ents = batch_entries(b_ref, base)
-            vals, idx = _sort8(ents) if _MK_SORT else \
-                (ents, [jnp.int32(i) for i in range(FANOUT)])
-            for i in range(FANOUT):
-                sm[i] = idx[i]
-                sm[FANOUT + i] = (vals[i] < _INF).astype(jnp.int32)
-
-        def clusters_of(s):
-            """Visit the live clusters of super ``s`` front-to-back.
-
-            The visit sequence is statically unrolled (the only such level:
-            the MT block appears 8x in the program, once per sorted
-            position, because supers/hypers above iterate DYNAMICALLY) so
-            every DMA uses a *static* slot index.  DMAs start ``PIPELINE``
-            siblings ahead of the MT consuming them; both the start and
-            the MT re-test liveness against the then-current t_run, so a
-            near cluster's hit culls its occluded siblings' arithmetic
-            (always) and their fetches (beyond the lookahead).  A start's
-            predicate is captured so its wait matches exactly.
-            """
-            base = s * FANOUT
-            ents = batch_entries(cb_ref, base)
-            vals, idx = _sort8(ents) if _MK_SORT else \
-                (ents, [jnp.int32(i) for i in range(FANOUT)])
-
-            def start(i):
-                k = base + idx[i]
-                pred = vals[i] < _INF
-                if _MK_RETEST:
-                    live = _slab_live(cb_ref[pl.ds(k, 1), :], o, inv,
-                                      state[0:1, :])
-                    pred = pred & jnp.any(live)
-                # Predicates that GUARD A DMA go through an SMEM round
-                # trip: every on-hardware failure this round predicated a
-                # DMA directly on a vector-reduce result; every passing
-                # variant staged the predicate through scalar memory
-                # first.  (Also gives the wait the exact start predicate.)
-                sm_c[i] = pred.astype(jnp.int32)
-
-                @pl.when(sm_c[i] != 0)
-                def _():
-                    cluster_dma(k, i).start()
-
-            for i in range(min(PIPELINE, FANOUT)):
-                start(i)
-            for i in range(FANOUT):
-                if i + PIPELINE < FANOUT:
-                    start(i + PIPELINE)
-
-                @pl.when(sm_c[i] != 0)
-                def _(i=i):
-                    k = base + idx[i]
-                    cluster_dma(k, i).wait()
-                    if _MK_RETEST:
-                        live2 = _slab_live(cb_ref[pl.ds(k, 1), :], o, inv,
-                                           state[0:1, :])
-                        sm_c[FANOUT + i] = jnp.any(live2).astype(jnp.int32)
-
-                        @pl.when(sm_c[FANOUT + i] != 0)
-                        def _():
-                            mt_cluster(i, k)
-                    else:
-                        mt_cluster(i, k)
-
-        def supers_of(h):
-            """Descend the live supers of hyper ``h`` front-to-back."""
-            base = h * FANOUT
-            sorted_to_smem(sm_s, sb_ref, base)
-
-            def visit(i, _):
-                @pl.when(sm_s[FANOUT + i] != 0)
-                def _():
-                    clusters_of(base + sm_s[i])
-                return 0
-            jax.lax.fori_loop(0, FANOUT, visit, 0)
-
-        def hyper_batch(bi, _):
-            sorted_to_smem(sm_h, hb_ref, bi * FANOUT)
-
-            def visit(i, _):
-                @pl.when(sm_h[FANOUT + i] != 0)
-                def _():
-                    supers_of(bi * FANOUT + sm_h[i])
-                return 0
-            jax.lax.fori_loop(0, FANOUT, visit, 0)
+            @pl.when(jnp.any(live))
+            def _():
+                mt_cluster(k)
             return 0
 
-        # Whole-mesh root gate: dead subtiles (every lane culled by t_cull
-        # or aimed away) pay one (1, LANES) slab test and exit.  The gate
-        # predicate transitively guards DMAs -> SMEM round trip (above).
-        root_live = _slab_live(root_ref[0:1, :], o, inv, state[0:1, :])
-        sm_c[2 * FANOUT] = jnp.any(root_live).astype(jnp.int32)
+        def supers_of(h, j):
+            s = h * FANOUT + j
+            live = _slab_live(sb_ref[pl.ds(s, 1), :], o, inv, state[0:1, :])
 
-        @pl.when(sm_c[2 * FANOUT] != 0)
-        def _():
-            jax.lax.fori_loop(0, n_hyper_batches, hyper_batch, 0)
+            @pl.when(jnp.any(live))
+            def _():
+                jax.lax.fori_loop(0, FANOUT,
+                                  lambda c, _: clusters_of(s, c), 0)
+            return 0
+
+        def hyper_body(h, _):
+            live = _slab_live(hb_ref[pl.ds(h, 1), :], o, inv, state[0:1, :])
+
+            @pl.when(jnp.any(live))
+            def _():
+                jax.lax.fori_loop(0, FANOUT,
+                                  lambda j, _: supers_of(h, j), 0)
+            return 0
+
+        jax.lax.fori_loop(0, n_hypers, hyper_body, 0)
 
         mid = state[7:8, :]
         # winner normal normalized once (mesh_intersect_v:308-309)
@@ -351,15 +194,7 @@ def _build_kernel(n_hyper_batches: int):
 def _mesh_bvh_call(bvh: MeshBVH, rays: jnp.ndarray, interpret: bool):
     """rays: (nT, 8, LANES) rows [ox oy oz dx dy dz t_cull pad] -> out."""
     n_tiles = rays.shape[0]
-    assert bvh.n_hypers % FANOUT == 0, bvh.n_hypers
-    kernel = _build_kernel(bvh.n_hypers // FANOUT)
-    # Root box = union of the (widened) hyper boxes; padding rows carry
-    # inverted boxes so min/max ignore them.  Stored as 8 identical rows —
-    # a full (8, 8) f32 sublane tile; the kernel reads row 0.
-    root = jnp.tile(jnp.concatenate([
-        jnp.min(bvh.hyper_bounds[:, 0:3], axis=0),
-        jnp.max(bvh.hyper_bounds[:, 3:6], axis=0),
-        jnp.zeros((2,), jnp.float32)]).reshape(1, 8), (8, 1))
+    kernel = _build_kernel(bvh.n_hypers)
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
@@ -367,30 +202,20 @@ def _mesh_bvh_call(bvh: MeshBVH, rays: jnp.ndarray, interpret: bool):
         in_specs=[
             pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            # Faces EXPLICITLY in HBM: pl.ANY let the compiler place small
-            # meshes' face tables in VMEM, and the manual async-copy from a
-            # VMEM-resident ANY ref into the slot scratch faults at runtime
-            # (observed FAILED_PRECONDITION on every sub-3MB mesh while the
-            # 40 MB statue — HBM-forced by size — ran fine).
-            pl.BlockSpec(memory_space=pltpu.ANY if not hasattr(pltpu, "HBM")
-                         else pltpu.HBM),
-            vmem(), vmem(), vmem(), vmem(),         # bounds tables + root
+            pl.BlockSpec(memory_space=pl.ANY),      # faces stay in HBM
+            vmem(), vmem(), vmem(),                 # bounds tables
         ],
         out_specs=pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles, 8, LANES), jnp.float32),
-        scratch_shapes=(
-            [pltpu.VMEM((16, LANES), jnp.float32)]           # running state
-            + [pltpu.VMEM((CLUSTER, 128), jnp.float32)       # 8 face slabs
-               for _ in range(FANOUT)]
-            + [pltpu.SemaphoreType.DMA(()) for _ in range(FANOUT)]
-            + [pltpu.SMEM((2 * FANOUT,), jnp.int32),  # hyper visit order
-               pltpu.SMEM((2 * FANOUT,), jnp.int32),  # super visit order
-               pltpu.SMEM((2 * FANOUT + 1,), jnp.int32)]  # DMA predicates
-        ),
+        scratch_shapes=[
+            pltpu.VMEM((8, LANES), jnp.float32),      # running state rows
+            pltpu.VMEM((CLUSTER, 128), jnp.float32),  # DMA'd face slab
+            pltpu.SemaphoreType.DMA(()),
+        ],
         interpret=interpret,
     )(rays, bvh.faces_packed,
-      bvh.cluster_bounds, bvh.super_bounds, bvh.hyper_bounds, root)
+      bvh.cluster_bounds, bvh.super_bounds, bvh.hyper_bounds)
     return out
 
 

@@ -70,7 +70,6 @@ def test_build_invariants():
         h = s // FANOUT
         assert np.all(sb[s, 0:3] >= hb[h, 0:3] - 1e-5)
         assert np.all(sb[s, 3:6] <= hb[h, 3:6] + 1e-5)
-    assert bvh.n_hypers % FANOUT == 0          # kernel batches hypers by 8
     assert bvh.n_hypers * FANOUT >= bvh.n_supers
     assert bvh.n_supers * FANOUT >= bvh.n_clusters
 

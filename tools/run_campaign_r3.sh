@@ -4,7 +4,7 @@
 # from the last checkpoint).
 cd /root/repo
 ARGS="--out runs/r3 --train-scenes 28 --eval-scenes 4 --frames 24 --movs 2 \
-      --noise-seeds 3 --gt-spp 800 --gt-spp-eval 2000 --epochs 100 --batch 8 \
+      --noise-seeds 3 --gt-spp 800 --gt-spp-eval 2000 --epochs 100 --batch 4 \
       --quantize u8 --device-data --render-backend pallas_operand"
 STAGE="$1"
 for attempt in $(seq 1 12); do
