@@ -46,17 +46,20 @@ def main():
          f"{REF_TRACE_MS:.0f} ms (8.9 Mrays/s)",
          f"{trace_ms:.2f} ms ({mrays:.0f} Mrays/s)",
          f"**{REF_TRACE_MS / trace_ms:.1f}×**"),
-        ("Denoiser inference (832², bf16 BN-folded)",
-         f"{REF_DENOISE_MS:.1f} ms (optimized TorchScript)",
-         f"{den:.1f} ms", f"**{REF_DENOISE_MS / den:.1f}×**"),
-        ("Interactive loop (1spp trace + denoise, 800²)",
-         f"~{REF_TRACE_MS + REF_DENOISE_MS:.0f} ms (~4.4 fps)",
-         f"{inter:.1f} ms ({1e3 / inter:.1f} fps)",
-         f"**{(REF_TRACE_MS + REF_DENOISE_MS) / inter:.1f}×**"),
-        ("Train step (7-frame seq, 256² crops, batch 1)",
-         f"{REF_TRAIN_MS:.1f} ms", f"{tr:.1f} ms",
-         f"**{REF_TRAIN_MS / tr:.1f}×**"),
     ]
+    if ok(den):
+        rows.append(("Denoiser inference (832², bf16 BN-folded)",
+                     f"{REF_DENOISE_MS:.1f} ms (optimized TorchScript)",
+                     f"{den:.1f} ms", f"**{REF_DENOISE_MS / den:.1f}×**"))
+    if ok(inter):
+        rows.append(("Interactive loop (1spp trace + denoise, 800²)",
+                     f"~{REF_TRACE_MS + REF_DENOISE_MS:.0f} ms (~4.4 fps)",
+                     f"{inter:.1f} ms ({1e3 / inter:.1f} fps)",
+                     f"**{(REF_TRACE_MS + REF_DENOISE_MS) / inter:.1f}×**"))
+    if ok(tr):
+        rows.append(("Train step (7-frame seq, 256² crops, batch 1)",
+                     f"{REF_TRAIN_MS:.1f} ms", f"{tr:.1f} ms",
+                     f"**{REF_TRAIN_MS / tr:.1f}×**"))
     if ok(den1080):
         rows.append(("Denoiser inference 1920×1080 (pad-and-crop)",
                      "n/a (reference asserts square, pathtrace.cu:426)",
