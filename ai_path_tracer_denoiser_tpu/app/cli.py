@@ -295,6 +295,14 @@ def cmd_train(args):
             resume_epoch = checkpoint_epoch(ckpt)
             print(f"resumed from {ckpt} at step {int(state.step)}, "
                   f"epoch {resume_epoch}")
+            if resume_epoch is not None and resume_epoch >= 2 ** 30:
+                # 'final' sentinel: the previous run completed its whole
+                # schedule.  --resume --epochs N for a larger N must EXTEND
+                # training, not silently train zero epochs and rewrite
+                # 'final' — fall back to the step-count epoch inference.
+                print("checkpoint is a completed run's 'final'; extending: "
+                      "falling back to step-count epoch inference")
+                resume_epoch = None
 
     # Window boundaries come from the filenames themselves (the dataset
     # builds its per-(scene, mov, noise) table; the reference's find_max

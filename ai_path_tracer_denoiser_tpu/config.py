@@ -42,6 +42,15 @@ class RenderOptions:
     # round-trip — bitwise-identical images).  Costs two argsorts/bounce;
     # wins only on large meshes with incoherent bounces.
     mesh_octant_sort: bool = False
+    # Rays per BVH-kernel grid program for SECONDARY bounces — the
+    # descent-gating granule (a node is visited when ANY ray in the
+    # program's tile wants it).  1024 packs 8 native lane rows per program
+    # (best DMA amortization); 128 gates at single-row granularity so
+    # incoherent secondary bounces skip ~8x more of the tree (pair with
+    # mesh_octant_sort so each small tile holds direction-coherent rays).
+    # Primary rays (depth 0) always use the coherent-optimal 1024.
+    # Bitwise-identical results either way (pure work partitioning).
+    mesh_kernel_lanes: int = 1024
 
     # --- effects (pathtrace.cu:25-28) ---
     antialias: bool = True            # sub-pixel jitter, pathtrace.cu:168-173

@@ -29,10 +29,16 @@ from ..utils.imageio import save_png_scaled
 
 
 def encode_u8_input(x: np.ndarray) -> np.ndarray:
-    """(H, W, 10) float32 G-buffer -> uint8 with the reference's 8-bit data
-    regime (train.sh writes PNGs; preprocess.py:37-41 reads them back as
-    image/255, normal affine, depth/10): RGB+albedo in [0,1]*255, normals
-    [-1,1] -> [0,255], depth /10 clamped.  ``decode_u8_input`` inverts."""
+    """(H, W, 10) float32 G-buffer -> uint8: an 8-bit storage regime in the
+    spirit of the reference's PNG round trip (train.sh writes 8-bit PNGs).
+
+    The mapping here is NOT the reference's: preprocess.py:37-41 divides
+    the raw 0-255 PNG bytes by 255 (image/albedo/GT), 100 (normals) and 10
+    (depth), training on ranges [0,2.55]/[0,25.5] — a quirk of its scaling
+    constants.  This encode instead maps RGB/albedo [0,1]*255, normals
+    [-1,1] affine to [0,255], depth /10 clamped, and
+    ``decode_u8_input`` exactly inverts it, so training sees the same
+    value ranges as the unquantized float path."""
     u = np.empty(x.shape, np.uint8)
     u[..., 0:3] = np.clip(x[..., 0:3], 0, 1) * 255.0 + 0.5
     u[..., 3:6] = (np.clip(x[..., 3:6], -1, 1) * 0.5 + 0.5) * 255.0 + 0.5
@@ -93,6 +99,19 @@ def generate_training_data(
             os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
 
     assert quantize in (None, "u8"), quantize
+    # Refuse to resume into a corpus written under a different --quantize
+    # mode: the resume-skip would leave a silently mixed f32/u8 directory
+    # that corrupts the device-resident loader's single-dtype upload.
+    want = np.uint8 if quantize == "u8" else np.float32
+    for name in sorted(os.listdir(input_dir)):
+        if name.endswith(".npy"):
+            have = np.load(os.path.join(input_dir, name), mmap_mode="r").dtype
+            if have != want:
+                raise ValueError(
+                    f"{input_dir} already holds {have} frames but this run "
+                    f"would write {np.dtype(want)} (quantize={quantize!r}); "
+                    "use a fresh out_dir or matching --quantize")
+            break
     for scene_idx, scene in enumerate(scenes):
         phi, theta, zoom = orbit_params_from_camera(scene.camera)
         for mov in range(movs):
@@ -119,11 +138,22 @@ def _gen_frame(scene_idx, scene, mov, frame, phi, theta, zoom,
         return
     if mov == 0:
         cam = orbit_camera(scene.camera, phi + dphi * frame, theta, zoom)
-    else:
+    elif mov == 1:
         # reverse pan + gentle theta drift: a distinct trajectory over
         # the same scene (the reference's second camera pan)
         th = min(max(theta - 0.3 * dphi * frame, 1e-3), math.pi - 1e-3)
         cam = orbit_camera(scene.camera, phi - dphi * frame, th, zoom)
+    else:
+        # movs > 2 (ADVICE r3): every extra pan gets its OWN trajectory —
+        # alternating pan direction, a per-mov phi rate, and a per-mov
+        # theta drift — instead of duplicating pan 1's path with only an
+        # RNG offset.  mov 0/1 formulas above are frozen so existing
+        # corpora resume bit-identically.
+        sign = -1.0 if mov % 2 else 1.0
+        rate = dphi * (1.0 + 0.4 * (mov // 2))
+        drift = 0.15 * dphi * mov * (1.0 if mov % 2 else -1.0)
+        th = min(max(theta + drift * frame, 1e-3), math.pi - 1e-3)
+        cam = orbit_camera(scene.camera, phi + sign * rate * frame, th, zoom)
     fscene = dataclasses.replace(scene, camera=cam)
     # ground truth: accumulate gt_spp iterations once per frame — the
     # noise axis varies only the 1-spp input's RNG stream, so re-rendering

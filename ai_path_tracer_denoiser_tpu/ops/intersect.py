@@ -345,7 +345,8 @@ def intersect_scene_v(geoms: Geoms, mesh: MeshData, o: Vec3, d: Vec3,
                       types: Optional[Tuple[int, ...]] = None,
                       use_bvh: Optional[bool] = None,
                       active: Optional[jnp.ndarray] = None,
-                      octant_sort: bool = False):
+                      octant_sort: bool = False,
+                      kernel_lanes: Optional[int] = None):
     """Closest-hit query (SoA): dict with planes/Vec3 values; t==-1 on miss.
 
     ``use_bvh``: route the mesh through the Pallas cluster-BVH kernel
@@ -360,6 +361,8 @@ def intersect_scene_v(geoms: Geoms, mesh: MeshData, o: Vec3, d: Vec3,
     much smaller union of tree nodes per subtile.  Costs two argsorts +
     gathers per query; a pure permutation round-trip, so results are
     unchanged bit-for-bit.
+    ``kernel_lanes``: rays per BVH-kernel program (the descent-gating
+    granule; see mesh_intersect_bvh).  None = the kernel default (1024).
     """
     t_g, p_g, n_g, out_g, mat_g = intersect_geoms_v(geoms, o, d, types)
 
@@ -393,7 +396,8 @@ def intersect_scene_v(geoms: Geoms, mesh: MeshData, o: Vec3, d: Vec3,
                 ds_ = Vec3(d.x[perm], d.y[perm], d.z[perm])
                 t_m, p_m, n_m, mat_m = mesh_intersect_bvh(
                     mesh.bvh, os_, ds_, t_cull[perm],
-                    interpret=jax.default_backend() != "tpu")
+                    interpret=jax.default_backend() != "tpu",
+                    lanes=kernel_lanes)
                 inv = jnp.argsort(perm)
                 t_m = t_m[inv]
                 p_m = Vec3(p_m.x[inv], p_m.y[inv], p_m.z[inv])
@@ -402,7 +406,8 @@ def intersect_scene_v(geoms: Geoms, mesh: MeshData, o: Vec3, d: Vec3,
             else:
                 t_m, p_m, n_m, mat_m = mesh_intersect_bvh(
                     mesh.bvh, o, d, t_cull,
-                    interpret=jax.default_backend() != "tpu")
+                    interpret=jax.default_backend() != "tpu",
+                    lanes=kernel_lanes)
         else:
             t_m, p_m, n_m, mat_m = mesh_intersect_v(mesh, o, d, face_chunk)
             if ray_culling:

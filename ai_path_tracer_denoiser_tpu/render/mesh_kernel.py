@@ -44,7 +44,7 @@ from ..ops.bvh import CLUSTER, FANOUT, MeshBVH
 from ..ops.intersect import _triangle_t
 from ..ops.vec3 import Vec3
 
-LANES = 1024            # rays per grid program (8 native f32 rows)
+LANES = 1024            # default rays per grid program (8 native f32 rows)
 _INF = np.float32(np.inf)
 
 # VMEM holds only the bounds tables (~16 B/face); faces stream from HBM.
@@ -192,24 +192,30 @@ def _build_kernel(n_hypers: int):
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _mesh_bvh_call(bvh: MeshBVH, rays: jnp.ndarray, interpret: bool):
-    """rays: (nT, 8, LANES) rows [ox oy oz dx dy dz t_cull pad] -> out."""
-    n_tiles = rays.shape[0]
+    """rays: (nT, 8, lanes) rows [ox oy oz dx dy dz t_cull pad] -> out."""
+    n_tiles, _, lanes = rays.shape
     kernel = _build_kernel(bvh.n_hypers)
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 8, lanes), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),      # faces stay in HBM
+            # Faces EXPLICITLY in HBM: pl.ANY lets the compiler place small
+            # meshes' face tables in VMEM, and the manual async-copy from a
+            # VMEM-resident ANY ref into the slab scratch faults at runtime
+            # (observed FAILED_PRECONDITION on every sub-3MB mesh while the
+            # 40 MB statue — HBM-forced by size — ran fine).
+            pl.BlockSpec(memory_space=pltpu.ANY if not hasattr(pltpu, "HBM")
+                         else pltpu.HBM),
             vmem(), vmem(), vmem(),                 # bounds tables
         ],
-        out_specs=pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, 8, lanes), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, 8, LANES), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 8, lanes), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((8, LANES), jnp.float32),      # running state rows
+            pltpu.VMEM((8, lanes), jnp.float32),      # running state rows
             pltpu.VMEM((CLUSTER, 128), jnp.float32),  # DMA'd face slab
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -221,7 +227,8 @@ def _mesh_bvh_call(bvh: MeshBVH, rays: jnp.ndarray, interpret: bool):
 
 def mesh_intersect_bvh(bvh: MeshBVH, o: Vec3, d: Vec3,
                        t_cull: Optional[jnp.ndarray] = None,
-                       interpret: bool = False
+                       interpret: bool = False,
+                       lanes: Optional[int] = None,
                        ) -> Tuple[jnp.ndarray, Vec3, Vec3, jnp.ndarray]:
     """Closest mesh hit for a ray batch via the BVH kernel.
 
@@ -232,28 +239,39 @@ def mesh_intersect_bvh(bvh: MeshBVH, o: Vec3, d: Vec3,
     t; the merge in intersect_scene_v requires the mesh to win *strictly*,
     so pruning hits >= t_cull is exact).  Use -inf to skip a ray entirely
     (dead lanes), +inf (default) for an unbounded query.
+
+    ``lanes``: rays per grid program — the descent-gating granule.  A node
+    is descended when ANY of the program's rays wants it, so smaller
+    tiles skip more of the tree for incoherent secondary bounces (128 =
+    one native f32 lane row, the finest useful granule; combine with
+    ``octant_sort`` so each small tile holds direction-coherent rays),
+    while larger tiles amortize each cluster DMA over more rays for
+    coherent primaries (1024 = the proven default).  Pure work
+    partitioning: results are bitwise identical for any value.
     """
     if bvh.num_faces > MAX_KERNEL_FACES:
         raise ValueError(
             f"mesh has {bvh.num_faces} faces > MAX_KERNEL_FACES="
             f"{MAX_KERNEL_FACES}: the VMEM-resident bounds tables would "
             "blow the budget (raise the cap only with a deeper hierarchy)")
+    lanes = LANES if lanes is None else lanes
+    assert lanes % 128 == 0, lanes
     n = o.x.shape[0]
-    n_tiles = -(-n // LANES)
-    pad = n_tiles * LANES - n
+    n_tiles = -(-n // lanes)
+    pad = n_tiles * lanes - n
 
     def padded(x, fill):
         x = x.astype(jnp.float32)
         return jnp.pad(x, (0, pad), constant_values=fill) if pad else x
 
     tc = t_cull if t_cull is not None else jnp.full((n,), _INF)
-    zrow = jnp.zeros((n_tiles * LANES,), jnp.float32)
+    zrow = jnp.zeros((n_tiles * lanes,), jnp.float32)
     rays = jnp.stack([
         padded(o.x, 0.0), padded(o.y, 0.0), padded(o.z, 0.0),
         padded(d.x, 1.0), padded(d.y, 1.0), padded(d.z, 1.0),
         padded(tc, -_INF),                      # padding lanes: cull all
         zrow,
-    ]).reshape(8, n_tiles, LANES).swapaxes(0, 1)
+    ]).reshape(8, n_tiles, lanes).swapaxes(0, 1)
 
     out = _mesh_bvh_call(bvh, rays, interpret)
     flat = out.swapaxes(0, 1).reshape(8, -1)[:, :n]

@@ -319,7 +319,8 @@ def trace_iteration(scene: Scene, options: RenderOptions,
                                   ray_culling=options.ray_culling,
                                   use_bvh=use_bvh, active=remaining != 0,
                                   octant_sort=options.mesh_octant_sort
-                                  and use_bvh)
+                                  and use_bvh,
+                                  kernel_lanes=options.mesh_kernel_lanes)
         ray_o, ray_d, color, remaining = _shade(
             scene, options, iteration, isect, ray_d, color, remaining,
             pixel_offset)

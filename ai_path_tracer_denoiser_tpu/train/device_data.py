@@ -71,8 +71,19 @@ def load_device_dataset(dataset, dtype=jnp.bfloat16, chunk: int = 96):
             e = min(n, s + chunk)
             piece = np.empty((e - s,) + shape[1:], np_dtype)
             for i in range(s, e):
-                piece[i - s] = np.load(dataset.path_of(i, gt=gt),
-                                       mmap_mode="r")
+                frame = np.load(dataset.path_of(i, gt=gt), mmap_mode="r")
+                # A mixed f32/u8 corpus (reachable via datagen resume-skip
+                # across a --quantize change) would silently corrupt here:
+                # the numpy cast into `piece` truncates f32 [0,1] values to
+                # 0/1 in a u8 buffer, or reinterprets raw u8 0-255 as float
+                # G-buffer magnitudes.  The host loader decodes per-file and
+                # would silently diverge — fail loudly instead.
+                if frame.dtype != f0.dtype:
+                    raise ValueError(
+                        f"mixed-dtype corpus: {dataset.path_of(i, gt=gt)} is "
+                        f"{frame.dtype} but frame 0 is {f0.dtype}; "
+                        "regenerate the corpus with one --quantize mode")
+                piece[i - s] = frame
             buf = insert(buf, jnp.asarray(piece), s)
         return buf
 

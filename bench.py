@@ -12,9 +12,17 @@ numbers: 153.8 ms infer, 797.7 ms/train-iter — BASELINE.md) ride along in
 "extra" so BENCH_r* tracks all three axes.
 
 Prints exactly one JSON line.
+
+Isolation (VERDICT r3 weak #5): every subsystem after the headline render
+runs in its OWN subprocess (``--section NAME``), each with a fresh backend
+client — a Pallas fault that wedges the tunneled TPU backend nulls only its
+own row instead of every row after it.  Cheap/safe rows run first; the
+fault-prone mesh rows run last.
 """
 import json
+import os
 import pathlib
+import subprocess
 import sys
 import time
 
@@ -235,26 +243,79 @@ def bench_train_step():
     return sorted(times)
 
 
+def _selftest_fault():
+    raise RuntimeError("deliberate bench selftest fault")
+
+
+SECTIONS = {
+    "render": lambda: {"rates": bench_render()},
+    "denoiser": lambda: dict(zip(("den", "den_1080"), bench_denoiser())),
+    "train": lambda: {"tr": bench_train_step()},
+    "interactive": lambda: {"inter": bench_interactive()},
+    "mesh": lambda: {"mesh": bench_mesh_bvh()},
+    # test-only hooks (tests/test_bench_isolation.py): prove one faulting
+    # section cannot null its siblings' rows
+    "selftest_ok": lambda: {"ok": [1.0]},
+    "selftest_fault": _selftest_fault,
+}
+# Cheap, fault-safe rows first; the Pallas mesh rows (the only known
+# backend-wedge source) last so a wedge can null nothing downstream.
+SECTION_ORDER = ("render", "denoiser", "train", "interactive", "mesh")
+SECTION_TIMEOUT_S = {"render": 900, "denoiser": 1200, "train": 900,
+                     "interactive": 1200, "mesh": 2400,
+                     "selftest_ok": 300, "selftest_fault": 300}
+
+
+def run_section(name):
+    """Child-process entry: run one subsystem, print its raw result as the
+    final stdout line."""
+    res = SECTIONS[name]()
+    print("APTD_BENCH " + json.dumps(res))
+
+
+def _spawn_section(name):
+    """Run a section in a fresh process/backend-client; None on any
+    failure (fault, timeout, unparsable output)."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-u", __file__, "--section", name],
+            capture_output=True, text=True, cwd=str(_CACHE.parent),
+            timeout=SECTION_TIMEOUT_S[name], env=os.environ.copy())
+        for line in reversed(proc.stdout.splitlines()):
+            if line.startswith("APTD_BENCH "):
+                return json.loads(line[len("APTD_BENCH "):])
+        sys.stderr.write(f"[bench] section {name} produced no result "
+                         f"(rc={proc.returncode}):\n{proc.stderr[-2000:]}\n")
+    except subprocess.TimeoutExpired:
+        sys.stderr.write(f"[bench] section {name} timed out\n")
+    return None
+
+
 def main():
-    import traceback
+    nan = [float("nan")]
+    # Probe device identity BEFORE any section can wedge the backend.
+    dev = jax.devices()[0]
+    dev_kind = getattr(dev, "device_kind", str(dev))
+    backend = jax.default_backend()
 
-    def guard(fn, default):
-        """One faulty subsystem must not kill the whole benchmark record
-        (the tunneled backend can wedge mid-run); its row reports null."""
-        try:
-            return fn()
-        except Exception:
-            traceback.print_exc()
-            return default
+    def get(sec, key, default):
+        res = _spawn_section(sec)
+        return res[key] if res is not None else default
 
-    rates = bench_render()          # headline: no guard — a dead renderer
-    mrays = rates[len(rates) // 2]  # SHOULD fail the bench loudly
+    # Headline render: no fallback — a dead renderer SHOULD fail loudly.
+    render_res = _spawn_section("render")
+    if render_res is None:
+        raise SystemExit("headline render section failed")
+    rates = render_res["rates"]
+    mrays = rates[len(rates) // 2]
     baseline_mrays = (WIDTH * HEIGHT) / REFERENCE_SECONDS_PER_FRAME / 1e6
-    den, den_1080 = guard(bench_denoiser, ([float("nan")], [float("nan")]))
-    tr = guard(bench_train_step, [float("nan")])
-    mesh = guard(bench_mesh_bvh,
-                 {k: [float("nan")] for k in ("statue", "statue_d1", "blob")})
-    inter = guard(bench_interactive, [float("nan")])
+    den_res = _spawn_section("denoiser")
+    den = den_res["den"] if den_res else nan
+    den_1080 = den_res["den_1080"] if den_res else nan
+    tr = get("train", "tr", nan)
+    inter = get("interactive", "inter", nan)
+    mesh = get("mesh", "mesh",
+               {k: nan for k in ("statue", "statue_d1", "blob")})
 
     def med_ms(ts):
         v = ts[len(ts) // 2] * 1e3
@@ -264,12 +325,17 @@ def main():
         v = ref_s / ts[len(ts) // 2]
         return None if v != v else round(v, 2)
 
+    # Enough provenance to tell measurement noise from real drift
+    # (VERDICT r3 weak #4): device kind, backend, iteration counts.
     print(json.dumps({
         "metric": "pt_1spp_Mrays_per_s_per_chip",
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / baseline_mrays, 3),
         "extra": {
+            "device_kind": dev_kind,
+            "backend": backend,
+            "timed_iters": TIMED_ITERS,
             "render_Mrays_min_max": [round(rates[0], 3), round(rates[-1], 3)],
             "denoise_832sq_ms_median": med_ms(den),
             "denoise_vs_baseline": ratio(REFERENCE_DENOISE_SECONDS, den),
@@ -289,4 +355,6 @@ def main():
 
 
 if __name__ == "__main__":
+    if len(sys.argv) == 3 and sys.argv[1] == "--section":
+        sys.exit(run_section(sys.argv[2]))
     sys.exit(main())

@@ -70,7 +70,7 @@ def test_build_invariants():
         h = s // FANOUT
         assert np.all(sb[s, 0:3] >= hb[h, 0:3] - 1e-5)
         assert np.all(sb[s, 3:6] <= hb[h, 3:6] + 1e-5)
-    assert bvh.n_hypers * FANOUT >= bvh.n_supers
+    assert bvh.n_hypers * FANOUT == bvh.n_supers
     assert bvh.n_supers * FANOUT >= bvh.n_clusters
 
 
@@ -92,6 +92,22 @@ def test_kernel_bitwise_equals_scan():
     for ca, cb_ in ((n_ref.x, n_k.x), (n_ref.y, n_k.y), (n_ref.z, n_k.z)):
         np.testing.assert_allclose(np.asarray(ca)[hit], np.asarray(cb_)[hit],
                                    rtol=5e-7, atol=1e-7)
+
+
+def test_kernel_lanes_bitwise_invariant():
+    """The per-program tile width (descent-gating granule) is pure work
+    partitioning: lanes=128 must reproduce lanes=1024 bit-for-bit."""
+    verts, norms, mats = _soup(777)
+    bvh, order = build_mesh_bvh(verts, norms, mats)
+    ov, dv = _rays()
+    t_a, p_a, n_a, m_a = mesh_intersect_bvh(bvh, ov, dv, interpret=True)
+    t_b, p_b, n_b, m_b = mesh_intersect_bvh(bvh, ov, dv, interpret=True,
+                                            lanes=128)
+    assert np.array_equal(np.asarray(t_a), np.asarray(t_b))
+    assert np.array_equal(np.asarray(m_a), np.asarray(m_b))
+    for ca, cb_ in ((p_a.x, p_b.x), (p_a.y, p_b.y), (p_a.z, p_b.z),
+                    (n_a.x, n_b.x), (n_a.y, n_b.y), (n_a.z, n_b.z)):
+        assert np.array_equal(np.asarray(ca), np.asarray(cb_))
 
 
 def test_kernel_t_cull_is_exact_pruning():
