@@ -158,16 +158,34 @@ def _gen_frame(scene_idx, scene, mov, frame, phi, theta, zoom,
     # ground truth: accumulate gt_spp iterations once per frame — the
     # noise axis varies only the 1-spp input's RNG stream, so re-rendering
     # GT per noise seed (as the reference's bash loop does, train.sh:13-30)
-    # would be pure waste.
-    gt_img, _, _ = render(fscene, options, num_iterations=gt_spp)
-    gt = np.clip(np.asarray(gt_img, np.float32), 0.0, 1.0)
-    if options.flip_horizontal:
-        gt = gt[:, ::-1]   # align GT with the flipped G-buffer
+    # would be pure waste.  If ANY seed's gt file already exists (a resume
+    # that widens the noise-seed axis), reuse it instead of re-rendering:
+    # every seed of a frame shares one converged target, and the u8
+    # decode/encode round-trips exactly.
+    gt = None
+    for noise in range(noise_seeds):
+        p = os.path.join(gt_dir,
+                         f"{scene_idx:03d}_{mov}_{noise}_{frame:04d}.npy")
+        if os.path.exists(p):
+            prev = np.load(p)
+            gt = (prev.astype(np.float32) / 255.0
+                  if prev.dtype == np.uint8 else prev)
+            break
+    if gt is None:
+        gt_img, _, _ = render(fscene, options, num_iterations=gt_spp)
+        gt = np.clip(np.asarray(gt_img, np.float32), 0.0, 1.0)
+        if options.flip_horizontal:
+            gt = gt[:, ::-1]   # align GT with the flipped G-buffer
     for noise in range(noise_seeds):
         # 1-spp input frame. The noise axis shifts the RNG iteration
         # counter by pre-advancing the state's iteration; the mov axis
         # shifts it again so the two pans draw distinct noise streams at
         # matching frame indices.
+        stem_n = f"{scene_idx:03d}_{mov}_{noise}_{frame:04d}"
+        if (not png_dump
+                and os.path.exists(os.path.join(input_dir, stem_n + ".npy"))
+                and os.path.exists(os.path.join(gt_dir, stem_n + ".npy"))):
+            continue   # seed already rendered (seed-axis-widening resume)
         state = init_render_state(fscene)
         state = dataclasses.replace(
             state, iteration=state.iteration + noise * 7919 + mov * 104729)

@@ -123,17 +123,30 @@ def _conv3x3_mm(x, w):
     return acc
 
 
-def _conv_act(conv, x, slope, compute_dtype, impl: str = "auto"):
-    """conv3x3 SAME + bias + LeakyReLU, output in ``compute_dtype``.
+def _conv_act(conv, x, slope, compute_dtype, impl: str = "auto",
+              affine=None):
+    """conv3x3 SAME + bias + LeakyReLU [+ affine x*s+t], in ``compute_dtype``.
 
-    ``impl``: "matmul" = 9-tap dot_general (MXU), "native" =
-    lax.conv_general_dilated, "auto" = matmul on TPU backends, native
-    elsewhere (CPU XLA's native conv is fine and keeps tests fast).
-    The contraction accumulates f32; bias add + LReLU run f32 and fuse
+    ``impl``: "pallas" = the fused single-matmul-per-row Pallas kernel
+    (models/conv_kernel.py — the fastest TPU path for the full-res
+    levels; falls back per-shape when unsupported), "matmul" = 9-tap
+    dot_general (MXU), "native" = lax.conv_general_dilated, "auto" =
+    pallas on TPU backends, native elsewhere (CPU XLA's native conv is
+    fine and keeps tests fast).  The contraction accumulates f32; bias
+    add + LReLU (+ the folded-BN affine, when given) run f32 and fuse
     into the epilogue, so only the ``compute_dtype`` result is ever
     materialized in HBM.
     """
     if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "native"
+    if impl == "pallas":
+        from .conv_kernel import conv3x3_act, supported_height
+        n, h, _, _ = x.shape
+        if n == 1 and supported_height(h):
+            y = conv3x3_act(x[0].astype(compute_dtype),
+                            conv["w"], conv["b"], slope, affine=affine,
+                            interpret=jax.default_backend() != "tpu")
+            return y[None]
         impl = "matmul" if jax.default_backend() == "tpu" else "native"
     xc = x.astype(compute_dtype)
     wc = conv["w"].astype(compute_dtype)
@@ -144,7 +157,10 @@ def _conv_act(conv, x, slope, compute_dtype, impl: str = "auto"):
             xc, wc, window_strides=(1, 1), padding="SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.float32)
-    return leaky_relu(y + conv["b"], slope).astype(compute_dtype)
+    y = leaky_relu(y + conv["b"], slope)
+    if affine is not None:
+        y = y * affine["s"] + affine["t"]
+    return y.astype(compute_dtype)
 
 
 def apply_frame_fast(folded: Dict, x: jnp.ndarray, hidden: Dict,
@@ -167,7 +183,8 @@ def apply_frame_fast(folded: Dict, x: jnp.ndarray, hidden: Dict,
     _, h, w, _ = x.shape
     if h % 32 or w % 32:
         raise ValueError(f"input {h}x{w} must be divisible by 32")
-    ca = lambda p_, y_: _conv_act(p_, y_, slope, compute_dtype, conv_impl)
+    ca = lambda p_, y_, aff=None: _conv_act(p_, y_, slope, compute_dtype,
+                                            conv_impl, affine=aff)
     new_hidden = {}
     skips = []
     y = x.astype(compute_dtype)
@@ -176,9 +193,8 @@ def apply_frame_fast(folded: Dict, x: jnp.ndarray, hidden: Dict,
         out1 = ca(p["conv1"], y)
         hcat = jnp.concatenate(
             [out1, hidden[f"enc{i}"].astype(compute_dtype)], axis=-1)
-        out2 = ca(p["conv2"], hcat)
-        out2 = (out2 * p["affine2"]["s"] +
-                p["affine2"]["t"]).astype(compute_dtype)
+        # bn2's surviving affine fuses into conv2's epilogue
+        out2 = ca(p["conv2"], hcat, aff=p["affine2"])
         out3 = ca(p["conv3"], out2)
         new_hidden[f"enc{i}"] = out3
         y = max_pool_2x2(out3)

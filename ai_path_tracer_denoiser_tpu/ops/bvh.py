@@ -144,14 +144,30 @@ def _group_bounds(lb: np.ndarray, ub: np.ndarray, group: int,
     return glb, gub, _bounds_rows(glb, gub, pad)
 
 
+MIN_PACKED_ROWS = 8192   # 4 MiB floor for the HBM face table (see below)
+
+
 def build_mesh_bvh(vertices: np.ndarray, normals: np.ndarray,
                    material_id: np.ndarray,
-                   reorder: bool = True) -> Tuple[MeshBVH, np.ndarray]:
+                   reorder: bool = True,
+                   min_packed_rows: int = MIN_PACKED_ROWS
+                   ) -> Tuple[MeshBVH, np.ndarray]:
     """Build the hierarchy from (F,3,3) world-space faces.
 
     Returns (bvh, order) where ``order`` is the Morton permutation applied —
     the caller must apply the same permutation to its own face arrays so the
     brute-force path shares the BVH's face order (and tie-breaks).
+
+    ``min_packed_rows``: lower bound on the packed face table's row count
+    (default 8192 rows = 4 MiB).  Rows past the real clusters are inert
+    (padding clusters carry inverted boxes and are never descended, so the
+    extra rows are never DMA'd).  The floor is a WORKAROUND, root-caused
+    on hardware (r4, tools/hw_bvh_check.py): face tables under ~3 MiB get
+    placed by this toolchain where the kernel's manual async-copy cannot
+    legally source (runtime FAILED_PRECONDITION on every small mesh, with
+    pl.ANY *and* with an explicit pltpu.HBM pin), while the same mesh
+    padded past the threshold runs and matches the dense scan bitwise.
+    4 MiB of HBM per mesh is noise next to correctness.
     """
     vertices = np.asarray(vertices, np.float32)
     normals = np.asarray(normals, np.float32)
@@ -169,7 +185,8 @@ def build_mesh_bvh(vertices: np.ndarray, normals: np.ndarray,
     k = max(1, -(-f // CLUSTER))
     kp = -(-k // FANOUT) * FANOUT
     fp = kp * CLUSTER
-    packed = np.zeros((fp, 128), np.float32)   # row padded to 128 lanes (DMA alignment)
+    rows = max(fp, int(min_packed_rows))
+    packed = np.zeros((rows, 128), np.float32)  # row padded to 128 lanes (DMA alignment)
     packed[:, 18] = -1.0
     packed[:f, 0:9] = v.reshape(f, 9)
     packed[:f, 9:18] = nrm.reshape(f, 9)

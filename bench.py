@@ -45,10 +45,18 @@ TIMED_ITERS = 64
 REPS = 3
 
 
+_fence_sum = None
+
+
 def _fence(x):
-    """Host transfer fence (block_until_ready can return early over the
-    tunneled device backend)."""
-    np.asarray(x)
+    """Completion fence: a device-side scalar reduce fetched to host (4
+    bytes over the tunnel).  block_until_ready can return early over the
+    tunneled backend, and np.asarray of the full output would ship MBs
+    through the relay per window — measuring the tunnel, not the chip."""
+    global _fence_sum
+    if _fence_sum is None:
+        _fence_sum = jax.jit(lambda v: jnp.sum(v.astype(jnp.float32)))
+    float(_fence_sum(x))
 
 
 def bench_render():

@@ -199,3 +199,55 @@ def test_u8_quantized_frames_roundtrip_and_decode(tmp_path):
     assert dx.dtype == np.float32 and dy.dtype == np.float32
     np.testing.assert_array_equal(dx[0], dec)
     np.testing.assert_array_equal(dy[0], decode_u8_gt(encode_u8_gt(y)))
+
+
+def test_datagen_seed_widening_reuses_gt(tmp_path, monkeypatch):
+    """Widening the noise-seed axis on an existing corpus must reuse the
+    per-frame ground truth (every seed shares one converged target) and
+    skip already-rendered seed inputs — only the NEW seeds' 1-spp inputs
+    render.  The datagen resume path that makes 3 -> 5 seed upgrades
+    nearly free."""
+    import dataclasses
+
+    from ai_path_tracer_denoiser_tpu.data import datagen as dg
+    from ai_path_tracer_denoiser_tpu.scene import load_scene
+    from ai_path_tracer_denoiser_tpu.scene.camera import derive_camera
+
+    scene = load_scene(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scenes", "cornell_box.txt"))
+    cam = derive_camera((32, 32), 45.0, np.asarray(scene.camera.position),
+                        np.asarray(scene.camera.look_at),
+                        np.asarray(scene.camera.up))
+    scene = dataclasses.replace(scene, camera=cam)
+
+    real_render = dg.render
+    calls = {"gt": 0, "input": 0}
+
+    def counting_render(s, options, num_iterations, **kw):
+        calls["gt" if num_iterations > 1 else "input"] += 1
+        return real_render(s, options, num_iterations=num_iterations, **kw)
+
+    monkeypatch.setattr(dg, "render", counting_render)
+    out = str(tmp_path / "d")
+    dg.generate_training_data([scene], out, frames_per_scene=2, gt_spp=2,
+                              noise_seeds=1, movs=1, quantize="u8",
+                              progress=False)
+    assert calls == {"gt": 2, "input": 2}
+    gt0 = (tmp_path / "d" / "gt" / "000_0_0_0000.npy").read_bytes()
+
+    calls.update(gt=0, input=0)
+    dg.generate_training_data([scene], out, frames_per_scene=2, gt_spp=2,
+                              noise_seeds=3, movs=1, quantize="u8",
+                              progress=False)
+    # no GT re-renders; only the 2 frames x 2 NEW seeds of inputs
+    assert calls == {"gt": 0, "input": 4}
+    # seed-0 artifacts untouched; all seeds share one bit-identical GT
+    assert (tmp_path / "d" / "gt" / "000_0_0_0000.npy").read_bytes() == gt0
+    a = np.load(tmp_path / "d" / "gt" / "000_0_1_0000.npy")
+    b = np.load(tmp_path / "d" / "gt" / "000_0_0_0000.npy")
+    np.testing.assert_array_equal(a, b)
+    # the new seeds' inputs differ (distinct RNG streams)
+    i0 = np.load(tmp_path / "d" / "input" / "000_0_0_0000.npy")
+    i1 = np.load(tmp_path / "d" / "input" / "000_0_1_0000.npy")
+    assert not np.array_equal(i0, i1)

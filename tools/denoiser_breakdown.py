@@ -36,16 +36,25 @@ def main():
     H = W = 832
     results = {}
 
+    # Fence: a device-side scalar reduce fetched to host — 4 bytes over
+    # the tunnel.  (np.asarray of the full output would ship tens of MB
+    # per iteration through the relay and swamp every measurement;
+    # block_until_ready alone can return early over this backend.)
+    fence_sum = jax.jit(lambda y: jnp.sum(y.astype(jnp.float32)))
+
+    def _fence(y):
+        leaf = jax.tree_util.tree_leaves(y)[0]
+        float(fence_sum(leaf))
+
     def timeit(name, fn, *args, inner=8):
         y = fn(*args)
-        jax.block_until_ready(y)
-        np.asarray(jax.tree_util.tree_leaves(y)[0]).ravel()[:1]
+        _fence(y)
         best = []
         for _ in range(3):
             t0 = time.perf_counter()
             for _ in range(inner):
                 y = fn(*args)
-            np.asarray(jax.tree_util.tree_leaves(y)[0]).ravel()[:1]
+            _fence(y)
             best.append((time.perf_counter() - t0) / inner)
         ms = sorted(best)[1] * 1e3
         results[name] = round(ms, 3)

@@ -65,7 +65,7 @@ def _rays_for_mesh(mesh, n=4096, seed=1):
                  jnp.asarray(d[:, 2])))
 
 
-def _bitwise_stage(scene_path, n_rays=4096):
+def _bitwise_stage(scene_path, n_rays=4096, min_packed_rows=0):
     import jax
 
     from ai_path_tracer_denoiser_tpu.ops.intersect import mesh_intersect_v
@@ -77,6 +77,19 @@ def _bitwise_stage(scene_path, n_rays=4096):
     scene = load_scene(scene_path)
     mesh = scene.mesh
     assert mesh.bvh is not None
+    if min_packed_rows:
+        # rebuild with a padded face table (small-HBM-array experiment)
+        import dataclasses
+
+        from ai_path_tracer_denoiser_tpu.ops.bvh import build_mesh_bvh
+        nb, _ = build_mesh_bvh(np.asarray(mesh.vertices[:mesh.num_faces]),
+                               np.asarray(mesh.normals[:mesh.num_faces]),
+                               np.asarray(mesh.material_id[:mesh.num_faces]),
+                               reorder=False,
+                               min_packed_rows=min_packed_rows)
+        mesh = dataclasses.replace(mesh, bvh=nb)
+        _log(f"padded face table to {nb.faces_packed.shape} "
+             f"({nb.faces_packed.nbytes / 2**20:.1f} MiB)")
     _log(f"{scene_path}: {mesh.num_faces} faces, bvh "
          f"H={mesh.bvh.n_hypers} S={mesh.bvh.n_supers} "
          f"K={mesh.bvh.n_clusters}")
@@ -107,6 +120,43 @@ def _bitwise_stage(scene_path, n_rays=4096):
             "t_bitwise": ok_t, "mat_bitwise": ok_m, "point_bitwise": ok_p,
             "normal_ulp": ok_n,
             "ok": ok_t and ok_m and ok_p and ok_n}
+
+
+def _soup_stage(n_faces, n_rays=2048):
+    """Synthetic-soup kernel-vs-scan check at an arbitrary face count."""
+    import dataclasses
+
+    import jax
+
+    from ai_path_tracer_denoiser_tpu.ops.bvh import build_mesh_bvh
+    from ai_path_tracer_denoiser_tpu.ops.intersect import mesh_intersect_v
+    from ai_path_tracer_denoiser_tpu.render.mesh_kernel import (
+        mesh_intersect_bvh)
+    from ai_path_tracer_denoiser_tpu.scene.structs import make_mesh
+
+    assert jax.default_backend() != "cpu"
+    rng = np.random.default_rng(0)
+    centers = rng.uniform(-2, 2, (n_faces, 1, 3))
+    verts = (centers + rng.uniform(-.3, .3, (n_faces, 3, 3))).astype(
+        np.float32)
+    norms = rng.normal(size=(n_faces, 3, 3)).astype(np.float32)
+    norms /= np.linalg.norm(norms, axis=-1, keepdims=True)
+    mats = rng.integers(0, 5, n_faces).astype(np.int32)
+    bvh, order = build_mesh_bvh(verts, norms, mats)
+    mesh = make_mesh(verts[order], norms[order], mats[order],
+                     build_bvh=False)
+    _log(f"soup {n_faces}: H={bvh.n_hypers} S={bvh.n_supers} "
+         f"K={bvh.n_clusters} packed={bvh.faces_packed.nbytes/2**20:.1f}MiB")
+    ov, dv = _rays_for_mesh(mesh, n_rays)
+    _log("running BVH kernel on hardware ...")
+    t_k, _, _, m_k = mesh_intersect_bvh(bvh, ov, dv, interpret=False)
+    t_k = np.asarray(t_k)
+    _log(f"kernel done: {int(np.isfinite(t_k).sum())}/{n_rays} hits")
+    t_r, _, _, m_r = mesh_intersect_v(mesh, ov, dv)
+    ok = bool(np.array_equal(np.asarray(t_r), t_k)
+              and np.array_equal(np.asarray(m_r), np.asarray(m_k)))
+    return {"faces": n_faces, "hits": int(np.isfinite(t_k).sum()),
+            "ok": ok}
 
 
 def _frames_stage():
@@ -151,10 +201,18 @@ def main():
 
     if stage == "blob":
         res = _bitwise_stage("scenes/cornell_mesh_blob.txt")
+    elif stage == "blob_padded":
+        # decisive small-mesh experiment: same blob, face table padded
+        # past the observed ~3 MB fault threshold
+        res = _bitwise_stage("scenes/cornell_mesh_blob.txt",
+                             min_packed_rows=8192)
     elif stage == "statue":
         res = _bitwise_stage("scenes/cornell_mesh_statue.txt")
     elif stage == "frames":
         res = _frames_stage()
+    elif stage.isdigit():
+        # synthetic triangle soup of N faces: bisect the size threshold
+        res = _soup_stage(int(stage))
     else:
         raise SystemExit(f"unknown stage {stage}")
     print(json.dumps({"stage": stage, **res}))

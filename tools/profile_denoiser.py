@@ -22,9 +22,19 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+_fence_fn = None
+
+
 def _fence(x):
-    import numpy as np
-    np.asarray(x)
+    """Device-side scalar reduce + 4-byte fetch.  (np.asarray of the full
+    output ships MBs through the tunnel per window and used to inflate
+    every number here ~2.5x — r3's "40 ms denoiser" was really ~15.)"""
+    global _fence_fn
+    import jax
+    import jax.numpy as jnp
+    if _fence_fn is None:
+        _fence_fn = jax.jit(lambda v: jnp.sum(v.astype(jnp.float32)))
+    float(_fence_fn(x))
 
 
 def time_fn(fn, *args, reps=3, inner=8):
