@@ -143,9 +143,14 @@ def cmd_interactive(args):
     # through the pad-and-crop wrapper; hidden lives at the padded size.
     from ..models.inference import padded_resolution
     hp, wp = padded_resolution(h, w)
+    # The (10,H,W) gbuffer -> NHWC input transform rides INSIDE the
+    # denoise jit: over a tunneled backend every separate dispatch costs
+    # ~3 ms of relay round-trip, so the per-frame host loop issues exactly
+    # two programs (trace, denoise) instead of three.
     if args.parity_denoise or mopts.norm != "batch":
         # train-graph eval mode: BN applied from running stats each frame
-        def _pad_apply(x, hd):
+        def _pad_apply(gbuf, hd):
+            x = jnp.moveaxis(gbuf, 0, -1)[None]
             x = jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)),
                         mode="edge") if (hp, wp) != (h, w) else x
             y, hd, _ = apply_frame(params, bn_state, x, hd, train=False,
@@ -159,8 +164,8 @@ def cmd_interactive(args):
         # (convert_to_torchscript.py) minus the hidden-reset bug.
         from ..models.inference import apply_frame_fast_padded
         folded = prepare_inference(params, bn_state, mopts)
-        denoise = jax.jit(lambda x, hd: apply_frame_fast_padded(
-            folded, x, hd, mopts))
+        denoise = jax.jit(lambda gbuf, hd: apply_frame_fast_padded(
+            folded, jnp.moveaxis(gbuf, 0, -1)[None], hd, mopts))
         hidden = init_hidden(1, hp, wp, mopts, dtype=jnp.bfloat16)
     phi, theta, zoom = orbit_params_from_camera(scene.camera)
     os.makedirs(args.out_dir, exist_ok=True)
@@ -213,8 +218,7 @@ def cmd_interactive(args):
             _, gbuffer, _ = render(fscene, options, num_iterations=gt_spp)
         else:
             _, gbuffer, _ = render_gbuffer_frame(fscene, options)
-        x = jnp.moveaxis(gbuffer, 0, -1)[None]       # (1, H, W, 10)
-        denoised, hidden = denoise(x, hidden)
+        denoised, hidden = denoise(gbuffer, hidden)
         if pending is not None:
             _emit(*pending)
         pending = (frame, denoised, t0)

@@ -38,10 +38,12 @@ class RenderOptions:
     # meshes loaded without a hierarchy.
     mesh_bvh: bool = True
     # Sort secondary rays by direction octant before the BVH kernel so each
-    # 128-lane subtile descends a coherent node set (pure permutation
-    # round-trip — bitwise-identical images).  Costs two argsorts/bounce;
-    # wins only on large meshes with incoherent bounces.
-    mesh_octant_sort: bool = False
+    # ray tile descends a coherent node set (pure permutation round-trip —
+    # bitwise-identical images).  Costs two argsorts/bounce, negligible
+    # against any BVH-scale mesh; measured on hardware (r4,
+    # tools/hw_statue_tuning.py): 81,920-face statue 6,560 -> 3,419
+    # ms/frame at depth 8.  Applies to secondary bounces only.
+    mesh_octant_sort: bool = True
     # Rays per BVH-kernel grid program for SECONDARY bounces — the
     # descent-gating granule (a node is visited when ANY ray in the
     # program's tile wants it).  1024 packs 8 native lane rows per program
@@ -51,6 +53,12 @@ class RenderOptions:
     # Primary rays (depth 0) always use the coherent-optimal 1024.
     # Bitwise-identical results either way (pure work partitioning).
     mesh_kernel_lanes: int = 1024
+    # BVH traversal kernel: "v2" = index-order descent, tile-wide gating
+    # (render/mesh_kernel.py); "v3" = front-to-back sorted descent with
+    # 128-ray subtile gating and pipelined cluster DMA
+    # (render/mesh_kernel_v3.py).  Bitwise-identical results (both match
+    # the dense scan exactly); purely a traversal-work/perf choice.
+    mesh_kernel_impl: str = "v2"
 
     # --- effects (pathtrace.cu:25-28) ---
     antialias: bool = True            # sub-pixel jitter, pathtrace.cu:168-173

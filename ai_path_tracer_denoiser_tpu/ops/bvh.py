@@ -131,7 +131,10 @@ def _bounds_rows(vmin: np.ndarray, vmax: np.ndarray, pad_to: int) -> np.ndarray:
 
 def _group_bounds(lb: np.ndarray, ub: np.ndarray, group: int,
                   pad_mult: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Min/max-reduce (n,3) child bounds into ceil(n/group) parent bounds."""
+    """Min/max-reduce (n,3) child bounds into ceil(n/group) parent bounds.
+
+    Row tables keep a 2*FANOUT minimum (see build_mesh_bvh padding note).
+    """
     n = lb.shape[0]
     m = -(-n // group)
     pl_ = np.full((m * group, 3), _PAD_LB, lb.dtype)
@@ -140,7 +143,7 @@ def _group_bounds(lb: np.ndarray, ub: np.ndarray, group: int,
     pu[:n] = ub
     glb = pl_.reshape(m, group, 3).min(axis=1)
     gub = pu.reshape(m, group, 3).max(axis=1)
-    pad = -(-m // pad_mult) * pad_mult
+    pad = max(-(-m // pad_mult) * pad_mult, 2 * FANOUT)
     return glb, gub, _bounds_rows(glb, gub, pad)
 
 
@@ -182,8 +185,12 @@ def build_mesh_bvh(vertices: np.ndarray, normals: np.ndarray,
     # Pad the face axis to a whole number of clusters AND clusters to a
     # whole number of supers, so every k in [0, Kp) indexes a full 32-face
     # block (padding clusters carry inverted AABBs and are never visited).
+    # Every bounds level keeps a MINIMUM of 2*FANOUT rows: the v3 traversal
+    # kernel reads 8-row batches at dynamic offsets, and tables of exactly
+    # one batch faulted at runtime on hardware — the slack rows are
+    # inverted can't-hit boxes, never descended by either kernel.
     k = max(1, -(-f // CLUSTER))
-    kp = -(-k // FANOUT) * FANOUT
+    kp = max(-(-k // FANOUT) * FANOUT, 2 * FANOUT)
     fp = kp * CLUSTER
     rows = max(fp, int(min_packed_rows))
     packed = np.zeros((rows, 128), np.float32)  # row padded to 128 lanes (DMA alignment)
@@ -204,8 +211,9 @@ def build_mesh_bvh(vertices: np.ndarray, normals: np.ndarray,
 
     slb, sub_, super_rows_unpadded = _group_bounds(clb, cub, FANOUT, FANOUT)
     sp = super_rows_unpadded.shape[0]
-    # hyper level over supers; pad hyper count to a multiple of 1 (any)
-    _, _, hyper_rows = _group_bounds(slb, sub_, FANOUT, 1)
+    # hyper level over supers; padded to a multiple of FANOUT because the
+    # v3 kernel tests hypers in vectorized batches of FANOUT rows
+    _, _, hyper_rows = _group_bounds(slb, sub_, FANOUT, FANOUT)
 
     bvh = MeshBVH(
         faces_packed=jnp.asarray(packed),

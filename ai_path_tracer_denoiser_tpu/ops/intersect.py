@@ -346,7 +346,8 @@ def intersect_scene_v(geoms: Geoms, mesh: MeshData, o: Vec3, d: Vec3,
                       use_bvh: Optional[bool] = None,
                       active: Optional[jnp.ndarray] = None,
                       octant_sort: bool = False,
-                      kernel_lanes: Optional[int] = None):
+                      kernel_lanes: Optional[int] = None,
+                      kernel_impl: str = "v2"):
     """Closest-hit query (SoA): dict with planes/Vec3 values; t==-1 on miss.
 
     ``use_bvh``: route the mesh through the Pallas cluster-BVH kernel
@@ -370,7 +371,15 @@ def intersect_scene_v(geoms: Geoms, mesh: MeshData, o: Vec3, d: Vec3,
         if use_bvh is None:
             use_bvh = mesh.bvh is not None
         if use_bvh and mesh.bvh is not None:
-            from ..render.mesh_kernel import mesh_intersect_bvh
+            if kernel_impl == "v3":
+                from ..render.mesh_kernel_v3 import mesh_intersect_bvh_v3
+
+                def mesh_intersect_bvh(bvh, o_, d_, tc_, interpret,
+                                       lanes=None):
+                    return mesh_intersect_bvh_v3(bvh, o_, d_, tc_,
+                                                 interpret=interpret)
+            else:
+                from ..render.mesh_kernel import mesh_intersect_bvh
             # Seed the kernel's running t with the analytic-geom hit: the
             # merge below takes the mesh only on *strictly* smaller t, so
             # pruning candidates >= t_g is exact and skips whole subtrees

@@ -268,7 +268,8 @@ def trace_iteration(scene: Scene, options: RenderOptions,
         # reference's cached *values*, not its skipped work.
         fresh = intersect_scene_v(geoms, scene.mesh, ray_o, ray_d,
                                   ray_culling=options.ray_culling,
-                                  use_bvh=use_bvh)
+                                  use_bvh=use_bvh,
+                                  kernel_impl=options.mesh_kernel_impl)
         use_cache = iteration > 1
         isect0 = dict(
             t=jnp.where(use_cache, state.cache_t, fresh["t"]),
@@ -282,7 +283,8 @@ def trace_iteration(scene: Scene, options: RenderOptions,
     else:
         isect0 = intersect_scene_v(geoms, scene.mesh, ray_o, ray_d,
                                    ray_culling=options.ray_culling,
-                                   use_bvh=use_bvh)
+                                   use_bvh=use_bvh,
+                                   kernel_impl=options.mesh_kernel_impl)
         cache = (state.cache_t, state.cache_point, state.cache_normal, state.cache_mat)
 
     # G-buffer: normals + depth at depth 0, iteration 1 (pathtrace.cu:295-304).
@@ -320,7 +322,8 @@ def trace_iteration(scene: Scene, options: RenderOptions,
                                   use_bvh=use_bvh, active=remaining != 0,
                                   octant_sort=options.mesh_octant_sort
                                   and use_bvh,
-                                  kernel_lanes=options.mesh_kernel_lanes)
+                                  kernel_lanes=options.mesh_kernel_lanes,
+                                  kernel_impl=options.mesh_kernel_impl)
         ray_o, ray_d, color, remaining = _shade(
             scene, options, iteration, isect, ray_d, color, remaining,
             pixel_offset)

@@ -209,13 +209,14 @@ def bench_interactive():
     mopts = ModelOptions()
     params, bn_state = init_autoencoder(jax.random.PRNGKey(0), mopts)
     folded = prepare_inference(params, bn_state, mopts)
-    denoise = jax.jit(lambda x, hd: apply_frame_fast(folded, x, hd, mopts))
+    # gbuffer transform inside the denoise program: 2 dispatches/frame
+    denoise = jax.jit(lambda gbuf, hd: apply_frame_fast(
+        folded, jnp.moveaxis(gbuf, 0, -1)[None], hd, mopts))
     hidden = init_hidden(1, HEIGHT, WIDTH, mopts, dtype=jnp.bfloat16)
 
     def frame(hidden):
         _, gbuf, _ = render_gbuffer_frame(scene, options)
-        x = jnp.moveaxis(gbuf, 0, -1)[None]
-        return denoise(x, hidden)
+        return denoise(gbuf, hidden)
 
     y, hidden = frame(hidden)
     _fence(y)

@@ -65,12 +65,16 @@ def _rays_for_mesh(mesh, n=4096, seed=1):
                  jnp.asarray(d[:, 2])))
 
 
-def _bitwise_stage(scene_path, n_rays=4096, min_packed_rows=0):
+def _bitwise_stage(scene_path, n_rays=4096, min_packed_rows=0, impl="v2"):
     import jax
 
     from ai_path_tracer_denoiser_tpu.ops.intersect import mesh_intersect_v
-    from ai_path_tracer_denoiser_tpu.render.mesh_kernel import (
-        mesh_intersect_bvh)
+    if impl == "v3":
+        from ai_path_tracer_denoiser_tpu.render.mesh_kernel_v3 import (
+            mesh_intersect_bvh_v3 as mesh_intersect_bvh)
+    else:
+        from ai_path_tracer_denoiser_tpu.render.mesh_kernel import (
+            mesh_intersect_bvh)
     from ai_path_tracer_denoiser_tpu.scene import load_scene
 
     assert jax.default_backend() != "cpu", jax.default_backend()
@@ -208,6 +212,10 @@ def main():
                              min_packed_rows=8192)
     elif stage == "statue":
         res = _bitwise_stage("scenes/cornell_mesh_statue.txt")
+    elif stage == "blob_v3":
+        res = _bitwise_stage("scenes/cornell_mesh_blob.txt", impl="v3")
+    elif stage == "statue_v3":
+        res = _bitwise_stage("scenes/cornell_mesh_statue.txt", impl="v3")
     elif stage == "frames":
         res = _frames_stage()
     elif stage.isdigit():
