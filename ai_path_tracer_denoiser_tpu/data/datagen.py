@@ -186,9 +186,16 @@ def _gen_frame(scene_idx, scene, mov, frame, phi, theta, zoom,
                 and os.path.exists(os.path.join(input_dir, stem_n + ".npy"))
                 and os.path.exists(os.path.join(gt_dir, stem_n + ".npy"))):
             continue   # seed already rendered (seed-axis-widening resume)
+        # rng_offset (NOT iteration) carries the variant axes: bumping the
+        # iteration counter itself gated out the iteration-1 G-buffer
+        # write AND divided the RGB average by the offset — every mov>=1 /
+        # noise>=1 frame of the r3 corpus was all-zero input
+        # (tests/test_data_utils.py::test_datagen_variants_have_full_gbuffers).
+        import jax.numpy as _jnp
         state = init_render_state(fscene)
         state = dataclasses.replace(
-            state, iteration=state.iteration + noise * 7919 + mov * 104729)
+            state, rng_offset=_jnp.asarray(noise * 7919 + mov * 104729,
+                                           _jnp.int32))
         img1, gbuf, state = render(fscene, options, num_iterations=1,
                                    state=state)
         inp = _gbuffer_to_input(np.asarray(gbuf))

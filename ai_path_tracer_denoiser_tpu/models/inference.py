@@ -127,18 +127,20 @@ def _conv_act(conv, x, slope, compute_dtype, impl: str = "auto",
               affine=None):
     """conv3x3 SAME + bias + LeakyReLU [+ affine x*s+t], in ``compute_dtype``.
 
-    ``impl``: "pallas" = the fused single-matmul-per-row Pallas kernel
-    (models/conv_kernel.py — the fastest TPU path for the full-res
-    levels; falls back per-shape when unsupported), "matmul" = 9-tap
-    dot_general (MXU), "native" = lax.conv_general_dilated, "auto" =
-    pallas on TPU backends, native elsewhere (CPU XLA's native conv is
-    fine and keeps tests fast).  The contraction accumulates f32; bias
-    add + LReLU (+ the folded-BN affine, when given) run f32 and fuse
-    into the epilogue, so only the ``compute_dtype`` result is ever
-    materialized in HBM.
+    ``impl``: "matmul" = 9-tap dot_general (MXU), "native" =
+    lax.conv_general_dilated, "auto" = matmul on TPU backends, native
+    elsewhere (CPU XLA's native conv is fine and keeps tests fast);
+    "pallas" = the fused single-matmul-per-row kernel
+    (models/conv_kernel.py) — EXPERIMENTAL: this toolchain requires
+    rank-3 HBM DMA slices 128-aligned in the channel dim, so it cannot
+    compile for the network's C<128 widths on real TPUs (interpret mode
+    and future toolchains only; falls back per-shape otherwise).
+    The contraction accumulates f32; bias add + LReLU (+ the folded-BN
+    affine, when given) run f32 and fuse into the epilogue, so only the
+    ``compute_dtype`` result is ever materialized in HBM.
     """
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "native"
+        impl = "matmul" if jax.default_backend() == "tpu" else "native"
     if impl == "pallas":
         from .conv_kernel import conv3x3_act, supported_height
         n, h, _, _ = x.shape

@@ -180,7 +180,7 @@ def _state_spec():
     vspec = Vec3(P("data"), P("data"), P("data"))
     return RenderLoopState(
         accum=vspec, gbuf=tuple(P("data") for _ in range(7)), geoms=P(),
-        iteration=P(), cache_t=P("data"), cache_point=vspec,
+        iteration=P(), rng_offset=P(), cache_t=P("data"), cache_point=vspec,
         cache_normal=vspec, cache_mat=P("data"))
 
 

@@ -418,16 +418,23 @@ def _build_kernel(scene: Scene, options: RenderOptions, n_pixels: int,
         ply = cam_ref[0, 13]
         start = it_ref[0, 0]
         niter = it_ref[0, 1]
+        rng_off = it_ref[0, 3]
 
         ones = jnp.ones((TILE_ROWS, _LANES), jnp.float32)
 
         def one_iteration(k, carry):
             ax, ay, az, g0, g1, g2, g3, g4, g5, g6 = carry
             iteration = start + 1 + k
+            # RNG streams draw from iteration + rng_offset (the datagen
+            # noise/mov axes); accumulation and the iteration-1 G-buffer
+            # gate use the TRUE iteration.  (Bumping `iteration` itself
+            # for noise variants zeroed the G-buffer AND the RGB average
+            # of every variant frame — the r3 corpus bug.)
+            riter = iteration + rng_off
 
             # --- ray-gen (generateRayFromCamera, pathtrace.cu:155-182) ---
             if options.antialias:
-                uj = draw_uniforms(iteration, pid, 0, 2, options.rng)
+                uj = draw_uniforms(riter, pid, 0, 2, options.rng)
                 jx = uj[0] - 0.5
                 jy = uj[1] - 0.5
             else:
@@ -451,7 +458,7 @@ def _build_kernel(scene: Scene, options: RenderOptions, n_pixels: int,
                     g2 = jnp.where(write, normal.z, g2)
                     g3 = jnp.where(write, t, g3)
                 ray_o, ray_d, color, remaining = shade(
-                    iteration, pid, t, point, normal, mat_id, ray_d, color,
+                    riter, pid, t, point, normal, mat_id, ray_d, color,
                     remaining)
                 if d_i == 0 and options.denoise:
                     g4 = jnp.where(write, color.x, g4)
@@ -584,7 +591,7 @@ def _compiled_call(scene: Scene, options: RenderOptions, n_pixels: int,
         in_specs=[
             pl.BlockSpec((1, 16), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 3), lambda i: (0, 0),
+            pl.BlockSpec((1, 4), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             *scene_specs,
             pl.BlockSpec((3, TILE_ROWS, _LANES), lambda i: (0, i, 0),
@@ -648,7 +655,8 @@ def render_pallas(scene: Scene, options: RenderOptions,
     ]).reshape(1, 16)
     iters = jnp.stack([state.iteration.astype(jnp.int32),
                        jnp.int32(num_iterations),
-                       jnp.asarray(pixel_offset, jnp.int32)]).reshape(1, 3)
+                       jnp.asarray(pixel_offset, jnp.int32),
+                       state.rng_offset.astype(jnp.int32)]).reshape(1, 4)
 
     accum = _pack(tuple(state.accum), n_rows)
     gbuf = _pack(state.gbuf, n_rows)
@@ -684,5 +692,6 @@ def render_pallas(scene: Scene, options: RenderOptions,
     return RenderLoopState(
         accum=Vec3(ax, ay, az), gbuf=tuple(g), geoms=state.geoms,
         iteration=state.iteration + jnp.int32(num_iterations),
+        rng_offset=state.rng_offset,
         cache_t=state.cache_t, cache_point=state.cache_point,
         cache_normal=state.cache_normal, cache_mat=state.cache_mat)

@@ -72,6 +72,10 @@ class RenderLoopState:
     gbuf: Tuple[jnp.ndarray, ...]  # 7 (N,) planes: nx, ny, nz, depth, ax, ay, az
     geoms: Geoms
     iteration: jnp.ndarray    # () int32 — completed iterations
+    rng_offset: jnp.ndarray   # () int32 — added to iteration for RNG seeding
+                              # ONLY (datagen noise/mov variants); the
+                              # accumulation average and the iteration-1
+                              # G-buffer gate always use the true iteration
     cache_t: jnp.ndarray      # (N,)
     cache_point: Vec3         # 3 (N,) planes
     cache_normal: Vec3        # 3 (N,) planes
@@ -80,7 +84,7 @@ class RenderLoopState:
 
 jax.tree_util.register_dataclass(
     RenderLoopState,
-    ["accum", "gbuf", "geoms", "iteration",
+    ["accum", "gbuf", "geoms", "iteration", "rng_offset",
      "cache_t", "cache_point", "cache_normal", "cache_mat"], [])
 
 
@@ -97,6 +101,7 @@ def init_render_state(scene: Scene,
         gbuf=tuple(zero for _ in range(7)),
         geoms=scene.geoms,
         iteration=jnp.zeros((), jnp.int32),
+        rng_offset=jnp.zeros((), jnp.int32),
         cache_t=zero,
         cache_point=Vec3(zero, zero, zero),
         cache_normal=Vec3(zero, zero, zero),
@@ -240,6 +245,10 @@ def trace_iteration(scene: Scene, options: RenderOptions,
     n = state.accum.x.shape[0]
     depth_max = scene.trace_depth
     iteration = state.iteration + 1
+    # RNG streams draw from iteration + rng_offset (noise/mov variant
+    # axes); everything else — accumulation, motion blur cadence, the
+    # iteration-1 G-buffer gate — uses the true iteration.
+    rng_iter = iteration + state.rng_offset
 
     geoms = state.geoms
     if options.motion_blur:
@@ -251,7 +260,7 @@ def trace_iteration(scene: Scene, options: RenderOptions,
             advance_geoms(geoms), geoms)
 
     pixel_ids = jnp.arange(n, dtype=jnp.uint32) + jnp.uint32(pixel_offset)
-    ray_o, ray_d = generate_camera_rays_v(scene.camera, iteration, options,
+    ray_o, ray_d = generate_camera_rays_v(scene.camera, rng_iter, options,
                                           pixel_ids)
     color = Vec3.full_like(ray_d.x, 1.0)
     remaining = jnp.full((n,), depth_max, jnp.int32)
@@ -298,7 +307,7 @@ def trace_iteration(scene: Scene, options: RenderOptions,
                 jnp.where(write, isect0["t"], gbuf[3])) + gbuf[4:]
 
     ray_o, ray_d, color, remaining = _shade(
-        scene, options, iteration, isect0, ray_d, color, remaining,
+        scene, options, rng_iter, isect0, ray_d, color, remaining,
         pixel_offset)
 
     # G-buffer: albedo = throughput after the first shade (pathtrace.cu:379-387).
@@ -325,7 +334,7 @@ def trace_iteration(scene: Scene, options: RenderOptions,
                                   kernel_lanes=options.mesh_kernel_lanes,
                                   kernel_impl=options.mesh_kernel_impl)
         ray_o, ray_d, color, remaining = _shade(
-            scene, options, iteration, isect, ray_d, color, remaining,
+            scene, options, rng_iter, isect, ray_d, color, remaining,
             pixel_offset)
         carry = _maybe_sort_by_material(
             options, isect["material_id"], remaining > 0,
@@ -362,6 +371,7 @@ def trace_iteration(scene: Scene, options: RenderOptions,
 
     return RenderLoopState(
         accum=accum, gbuf=gbuf, geoms=geoms, iteration=iteration,
+        rng_offset=state.rng_offset,
         cache_t=cache[0], cache_point=cache[1], cache_normal=cache[2],
         cache_mat=cache[3])
 

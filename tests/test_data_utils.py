@@ -251,3 +251,69 @@ def test_datagen_seed_widening_reuses_gt(tmp_path, monkeypatch):
     i0 = np.load(tmp_path / "d" / "input" / "000_0_0_0000.npy")
     i1 = np.load(tmp_path / "d" / "input" / "000_0_1_0000.npy")
     assert not np.array_equal(i0, i1)
+
+
+def test_datagen_extra_movs_have_distinct_trajectories(tmp_path):
+    """movs > 2 (ADVICE r3): every pan must follow its OWN camera path —
+    not duplicate pan 1's with a different RNG offset.  Checked via the
+    depth channel (geometry-dependent, noise-free): frames at the same
+    index from different movs must differ, and mov 0/1 keep their frozen
+    r3-era formulas (resume compatibility)."""
+    import dataclasses
+
+    from ai_path_tracer_denoiser_tpu.data import datagen as dg
+    from ai_path_tracer_denoiser_tpu.scene import load_scene
+    from ai_path_tracer_denoiser_tpu.scene.camera import derive_camera
+
+    scene = load_scene(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scenes", "cornell_box.txt"))
+    cam = derive_camera((32, 32), 45.0, np.asarray(scene.camera.position),
+                        np.asarray(scene.camera.look_at),
+                        np.asarray(scene.camera.up))
+    scene = dataclasses.replace(scene, camera=cam)
+    out = str(tmp_path / "d")
+    dg.generate_training_data([scene], out, frames_per_scene=2, gt_spp=1,
+                              noise_seeds=1, movs=4, dphi=0.2,
+                              progress=False)
+    # frame 1 of each mov (frame 0 shares the start pose for movs 0/2)
+    depth = {m: np.load(tmp_path / "d" / "input" / f"000_{m}_0_0001.npy")[..., 6]
+             for m in range(4)}
+    for a in range(4):
+        for b in range(a + 1, 4):
+            assert not np.allclose(depth[a], depth[b]), (a, b)
+
+
+def test_datagen_variants_have_full_gbuffers(tmp_path):
+    """REGRESSION (r3 corpus bug): every mov/noise variant frame must carry
+    a real G-buffer and a real RGB average.  The old implementation bumped
+    state.iteration for the RNG offset, which (a) gated out the
+    iteration-1 normal/depth/albedo write and (b) divided the RGB average
+    by the offset — 5/6 of the r3 training corpus was all-zero input."""
+    import dataclasses
+
+    from ai_path_tracer_denoiser_tpu.data import datagen as dg
+    from ai_path_tracer_denoiser_tpu.scene import load_scene
+    from ai_path_tracer_denoiser_tpu.scene.camera import derive_camera
+
+    scene = load_scene(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scenes", "cornell_box.txt"))
+    cam = derive_camera((32, 32), 45.0, np.asarray(scene.camera.position),
+                        np.asarray(scene.camera.look_at),
+                        np.asarray(scene.camera.up))
+    scene = dataclasses.replace(scene, camera=cam)
+    out = str(tmp_path / "d")
+    dg.generate_training_data([scene], out, frames_per_scene=1, gt_spp=1,
+                              noise_seeds=2, movs=2, progress=False)
+    rgb = {}
+    for m in range(2):
+        for nz in range(2):
+            x = np.load(tmp_path / "d" / "input" / f"000_{m}_{nz}_0000.npy")
+            tag = f"mov{m}_noise{nz}"
+            assert (x[..., 6] > 0).mean() > 0.5, f"{tag}: empty depth"
+            assert np.abs(x[..., 3:6]).mean() > 0.1, f"{tag}: empty normals"
+            assert x[..., 0:3].max() > 0.05, f"{tag}: black RGB"
+            rgb[(m, nz)] = x[..., 0:3]
+    # the noise axis really does vary the 1-spp sample stream
+    assert not np.array_equal(rgb[(0, 0)], rgb[(0, 1)])

@@ -126,7 +126,7 @@ def _bitwise_stage(scene_path, n_rays=4096, min_packed_rows=0, impl="v2"):
             "ok": ok_t and ok_m and ok_p and ok_n}
 
 
-def _soup_stage(n_faces, n_rays=2048):
+def _soup_stage(n_faces, n_rays=2048, impl="v2"):
     """Synthetic-soup kernel-vs-scan check at an arbitrary face count."""
     import dataclasses
 
@@ -134,8 +134,12 @@ def _soup_stage(n_faces, n_rays=2048):
 
     from ai_path_tracer_denoiser_tpu.ops.bvh import build_mesh_bvh
     from ai_path_tracer_denoiser_tpu.ops.intersect import mesh_intersect_v
-    from ai_path_tracer_denoiser_tpu.render.mesh_kernel import (
-        mesh_intersect_bvh)
+    if impl == "v3":
+        from ai_path_tracer_denoiser_tpu.render.mesh_kernel_v3 import (
+            mesh_intersect_bvh_v3 as mesh_intersect_bvh)
+    else:
+        from ai_path_tracer_denoiser_tpu.render.mesh_kernel import (
+            mesh_intersect_bvh)
     from ai_path_tracer_denoiser_tpu.scene.structs import make_mesh
 
     assert jax.default_backend() != "cpu"
@@ -221,6 +225,8 @@ def main():
     elif stage.isdigit():
         # synthetic triangle soup of N faces: bisect the size threshold
         res = _soup_stage(int(stage))
+    elif stage.startswith("soup_v3_") and stage[8:].isdigit():
+        res = _soup_stage(int(stage[8:]), impl="v3")
     else:
         raise SystemExit(f"unknown stage {stage}")
     print(json.dumps({"stage": stage, **res}))

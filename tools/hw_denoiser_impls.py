@@ -59,7 +59,12 @@ def main():
 
     bench("matmul_832", "matmul", 832, 832)
     bench("native_832", "native", 832, 832)
-    bench("pallas_832", "pallas", 832, 832)
+    try:
+        # experimental: needs 128-aligned channel DMA (models/conv_kernel)
+        bench("pallas_832", "pallas", 832, 832)
+    except Exception as e:
+        results["pallas_832"] = f"error: {type(e).__name__}"
+        print(f"pallas_832 failed: {e}", file=sys.stderr, flush=True)
     print(json.dumps(results))
     return 0
 
