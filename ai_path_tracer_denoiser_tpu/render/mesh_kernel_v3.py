@@ -57,8 +57,12 @@ from ..ops.bvh import CLUSTER, FANOUT, MeshBVH
 from ..ops.intersect import _triangle_t
 from ..ops.vec3 import Vec3
 
+import os as _os
+
 LANES = 128             # rays per grid program (one f32 lane row)
-PIPELINE = 3            # cluster-DMA lookahead depth
+# cluster-DMA lookahead depth (env override is a hardware-debug lever:
+# PIPELINE=0 degenerates to v2-style serial start->wait per cluster)
+PIPELINE = int(_os.environ.get("APTD_MK3_PIPELINE", "3"))
 _INF = np.float32(np.inf)
 
 from .mesh_kernel import MAX_KERNEL_FACES  # shared cap
