@@ -123,6 +123,24 @@ def _conv3x3_mm(x, w):
     return acc
 
 
+def _conv3x3_im2row(x, w):
+    """3x3 SAME conv as ONE (H·W, 9Cin) @ (9Cin, Cout) contraction.
+
+    Trades one materialized 9x-wide shifted-concat buffer for a single
+    dense MXU matmul with K=9·Cin (e.g. 576 for the 64->32 conv vs nine
+    K=64 partial contractions in _conv3x3_mm).  Which wins is an HBM-vs-
+    MXU tradeoff — measured per-toolchain (tools/hw_denoiser_impls.py).
+    """
+    n, h, ww, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    taps = [jax.lax.slice(xp, (0, dy, dx, 0), (n, dy + h, dx + ww, c))
+            for dy in range(3) for dx in range(3)]
+    big = jnp.concatenate(taps, axis=-1)                 # (N, H, W, 9C)
+    wk = w.reshape(9 * c, w.shape[-1])                   # HWIO -> (9C, Co)
+    return jax.lax.dot_general(big, wk, (((3,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
 def _conv_act(conv, x, slope, compute_dtype, impl: str = "auto",
               affine=None):
     """conv3x3 SAME + bias + LeakyReLU [+ affine x*s+t], in ``compute_dtype``.
@@ -154,6 +172,8 @@ def _conv_act(conv, x, slope, compute_dtype, impl: str = "auto",
     wc = conv["w"].astype(compute_dtype)
     if impl == "matmul":
         y = _conv3x3_mm(xc, wc)
+    elif impl == "im2row":
+        y = _conv3x3_im2row(xc, wc)
     else:
         y = jax.lax.conv_general_dilated(
             xc, wc, window_strides=(1, 1), padding="SAME",

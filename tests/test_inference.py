@@ -201,3 +201,21 @@ def test_matmul_conv_impl_matches_native():
                                conv_impl="matmul")
     np.testing.assert_allclose(np.asarray(y_mm), np.asarray(y_nat),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_conv_impl_im2row_matches_matmul():
+    """The single-contraction im2row lowering computes the same conv as
+    the 9-tap shifted-matmul lowering (f32: tight)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ai_path_tracer_denoiser_tpu.models.inference import _conv_act
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 24, 6), jnp.float32)
+    conv = {"w": jax.random.normal(jax.random.PRNGKey(1), (3, 3, 6, 8),
+                                   jnp.float32) * 0.2,
+            "b": jax.random.normal(jax.random.PRNGKey(2), (8,), jnp.float32)}
+    a = _conv_act(conv, x, 0.1, jnp.float32, impl="matmul")
+    b = _conv_act(conv, x, 0.1, jnp.float32, impl="im2row")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5,
+                               atol=2e-6)

@@ -195,3 +195,32 @@ def test_fit_device_data_matches_host_loader(tmp_path):
                             checkpoint_fn=lambda s, e: ckpts.append(e),
                             model_options=SMALL, data=(X, Y, starts))
     assert int(state.step) == 6 and ckpts == [0, "final"]
+
+
+def test_recalibrate_bn_updates_stats_only():
+    """recalibrate_bn: forward-only pass refreshes BN running statistics,
+    leaves params/opt untouched (the pre-export recalibration step)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ai_path_tracer_denoiser_tpu.config import ModelOptions, TrainOptions
+    from ai_path_tracer_denoiser_tpu.train import (init_train_state,
+                                                   recalibrate_bn)
+
+    mopt = ModelOptions(widths=(4, 4, 4, 4, 4))
+    topt = TrainOptions(bf16_compute=False)
+    state = init_train_state(jax.random.PRNGKey(0), mopt, topt)
+    rng = np.random.default_rng(0)
+    batches = [(jnp.asarray(rng.normal(size=(2, 1, 32, 32, 10)),
+                            jnp.float32), None) for _ in range(3)]
+    new = recalibrate_bn(state, batches, 2, topt, mopt)
+    # params & opt state bit-identical
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(new.params)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    # at least one running stat moved
+    moved = any(not np.array_equal(np.asarray(a), np.asarray(b))
+                for a, b in zip(jax.tree_util.tree_leaves(state.bn_state),
+                                jax.tree_util.tree_leaves(new.bn_state)))
+    assert moved

@@ -59,6 +59,7 @@ def main():
 
     bench("matmul_832", "matmul", 832, 832)
     bench("native_832", "native", 832, 832)
+    bench("im2row_832", "im2row", 832, 832)
     try:
         # experimental: needs 128-aligned channel DMA (models/conv_kernel)
         bench("pallas_832", "pallas", 832, 832)
