@@ -378,6 +378,9 @@ def intersect_scene_v(geoms: Geoms, mesh: MeshData, o: Vec3, d: Vec3,
                                        lanes=None):
                     return mesh_intersect_bvh_v3(bvh, o_, d_, tc_,
                                                  interpret=interpret)
+            elif kernel_impl == "v2p":
+                from ..render.mesh_kernel_v2p import (
+                    mesh_intersect_bvh_v2p as mesh_intersect_bvh)
             else:
                 from ..render.mesh_kernel import mesh_intersect_bvh
             # Seed the kernel's running t with the analytic-geom hit: the

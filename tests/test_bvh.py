@@ -291,3 +291,30 @@ def test_render_v3_matches_v2_image():
                                              mesh_kernel_impl="v3"),
                         num_iterations=2)
     assert np.array_equal(np.asarray(img2), np.asarray(img3))
+
+
+def test_v2p_kernel_bitwise_equals_scan():
+    """v2p (pipelined-DMA variant of v2): bitwise vs the dense scan, and
+    the t_cull/dead-lane contract."""
+    from ai_path_tracer_denoiser_tpu.render.mesh_kernel_v2p import (
+        mesh_intersect_bvh_v2p)
+
+    verts, norms, mats = _soup(777)
+    bvh, order = build_mesh_bvh(verts, norms, mats)
+    mesh = make_mesh(verts[order], norms[order], mats[order], build_bvh=False)
+    ov, dv = _rays()
+    t_ref, p_ref, n_ref, m_ref = mesh_intersect_v(mesh, ov, dv)
+    t_k, p_k, n_k, m_k = mesh_intersect_bvh_v2p(bvh, ov, dv, interpret=True)
+    assert np.array_equal(np.asarray(t_ref), np.asarray(t_k))
+    assert np.array_equal(np.asarray(m_ref), np.asarray(m_k))
+    hit = np.isfinite(np.asarray(t_ref))
+    for ca, cb_ in ((p_ref.x, p_k.x), (p_ref.y, p_k.y), (p_ref.z, p_k.z)):
+        assert np.array_equal(np.asarray(ca)[hit], np.asarray(cb_)[hit])
+    for ca, cb_ in ((n_ref.x, n_k.x), (n_ref.y, n_k.y), (n_ref.z, n_k.z)):
+        np.testing.assert_allclose(np.asarray(ca)[hit], np.asarray(cb_)[hit],
+                                   rtol=5e-7, atol=1e-7)
+    dead = jnp.full((1536,), -np.inf, jnp.float32)
+    t_d, _, _, m_d = mesh_intersect_bvh_v2p(bvh, ov, dv, t_cull=dead,
+                                            interpret=True)
+    assert not np.isfinite(np.asarray(t_d)).any()
+    assert np.all(np.asarray(m_d) == -1)

@@ -94,7 +94,10 @@ def main():
             t0 = time.perf_counter()
             _, _, st = render(scene, opts, num_iterations=args.iters)
             np.asarray(st.accum.x)                             # fence
-            ms.append((time.perf_counter() - t0) * 1e3)
+            # normalize to the reference's 500-iteration budget: every
+            # iteration is statistically identical work, so the scale is
+            # exact up to noise (noted in the table when iters != 500)
+            ms.append((time.perf_counter() - t0) * 1e3 * 500.0 / args.iters)
         rows[name] = ms
         print(f"{name:24s} {ms[0]:9.1f} ms  {ms[1]:9.1f} ms", flush=True)
 
@@ -110,7 +113,9 @@ AA, pathtrace.cu:435-436).  Scene 1 = scenes/cornell_timing_1.txt
 (mesh-heavy), scene 2 = scenes/cornell_timing_2.txt (cube mesh) — the
 equivalents of cornell_timing_code{{,_2}}.txt.  "best" = compaction +
 cache + culling (the reference's winning trio; sorting lost on both its
-scenes).  Generated by tools/bench_matrix.py; iters={args.iters}.
+scenes).  Generated by tools/bench_matrix.py; measured over
+iters={args.iters} and scaled to the 500-iteration budget (each
+iteration is statistically identical work).
 
 | Configuration | Scene 1 (TPU) | Scene 2 (TPU) | Scene 1 (1080Ti ref) | Scene 2 (1080Ti ref) | TPU speedup (s1) |
 |---|---|---|---|---|---|

@@ -72,6 +72,9 @@ def _bitwise_stage(scene_path, n_rays=4096, min_packed_rows=0, impl="v2"):
     if impl == "v3":
         from ai_path_tracer_denoiser_tpu.render.mesh_kernel_v3 import (
             mesh_intersect_bvh_v3 as mesh_intersect_bvh)
+    elif impl == "v2p":
+        from ai_path_tracer_denoiser_tpu.render.mesh_kernel_v2p import (
+            mesh_intersect_bvh_v2p as mesh_intersect_bvh)
     else:
         from ai_path_tracer_denoiser_tpu.render.mesh_kernel import (
             mesh_intersect_bvh)
@@ -220,6 +223,10 @@ def main():
         res = _bitwise_stage("scenes/cornell_mesh_blob.txt", impl="v3")
     elif stage == "statue_v3":
         res = _bitwise_stage("scenes/cornell_mesh_statue.txt", impl="v3")
+    elif stage == "blob_v2p":
+        res = _bitwise_stage("scenes/cornell_mesh_blob.txt", impl="v2p")
+    elif stage == "statue_v2p":
+        res = _bitwise_stage("scenes/cornell_mesh_statue.txt", impl="v2p")
     elif stage == "frames":
         res = _frames_stage()
     elif stage.isdigit():

@@ -40,7 +40,10 @@ def main():
                ("l128_oct", 128, True, "v2"),
                ("l1024_oct", 1024, True, "v2"),
                ("v3", 128, False, "v3"),
-               ("v3_oct", 128, True, "v3")]
+               ("v3_oct", 128, True, "v3"),
+               ("v2p", 1024, False, "v2p"),
+               ("v2p_oct", 1024, True, "v2p"),
+               ("v2p_oct_l128", 128, True, "v2p")]
     only = os.environ.get("APTD_STATUE_CONFIGS")
     if only:
         names = set(only.split(","))
