@@ -71,7 +71,8 @@ def _render_options(args):
     kwargs = {}
     for flag in ("stream_compaction", "sort_material", "cache_first_bounce",
                  "ray_culling", "antialias", "motion_blur", "denoise",
-                 "mesh_normal_view", "fresnels", "dielectric"):
+                 "mesh_normal_view", "fresnels", "dielectric",
+                 "mesh_octant_sort", "mesh_kernel_lanes", "mesh_kernel_impl"):
         if getattr(args, flag, None) is not None:
             kwargs[flag] = getattr(args, flag)
     if getattr(args, "rng", None):
@@ -512,6 +513,17 @@ def main(argv=None):
             sp.add_argument(f"--no-{flag}", dest=dest, action="store_false",
                             default=None)
         sp.add_argument("--rng", choices=("parity", "fast"), default=None)
+        sp.add_argument("--mesh-octant-sort", dest="mesh_octant_sort",
+                        action="store_true", default=None)
+        sp.add_argument("--no-mesh-octant-sort", dest="mesh_octant_sort",
+                        action="store_false", default=None)
+        sp.add_argument("--mesh-kernel-lanes", type=int, default=None,
+                        help="rays per BVH-kernel program for secondary "
+                             "bounces (128 or 1024)")
+        sp.add_argument("--mesh-kernel-impl", choices=("v2", "v2p", "v3"),
+                        default=None,
+                        help="BVH traversal kernel (bitwise-identical "
+                             "results; perf/experimental choice)")
 
     sp = sub.add_parser("render", help="accumulate N spp and save an image")
     add_common(sp)
