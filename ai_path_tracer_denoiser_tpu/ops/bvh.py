@@ -45,9 +45,27 @@ FANOUT = 8        # clusters per super, supers per hyper
 _WIDEN_REL = 1e-5
 _WIDEN_ABS = 1e-6
 
-# Inverted AABB for padding nodes: slab test can never pass.
+# Fill values for min/max REDUCTIONS over partially-padded groups: +big for
+# the min side, -big for the max side, so padding children never widen a
+# real parent's box.
 _PAD_LB = np.float32(3e38)
 _PAD_UB = np.float32(-3e38)
+
+# Padding bounds ROW: a box that is genuinely DEAD under the kernels' slab
+# test.  NOTE an "inverted" box (lb=+big, ub=-big) is NOT dead there: the
+# slab test takes min/max of the two plane distances per axis, which
+# neutralizes inversion — an inverted universe box tests as the universe,
+# so padding nodes were descended, walking out-of-bounds children and
+# issuing out-of-bounds face DMAs (the real root cause of round 3/4's
+# small-mesh FAILED_PRECONDITION faults: any mesh whose level sizes need
+# padding rows faulted; the statue — exactly 2560/320/40, zero padding —
+# never did).  This row gives each axis a POINT interval at +3e38 (x),
+# -3e38 (y), 0 (z): for every direction-sign combination the per-axis
+# t-intervals are disjoint (tmax < tmin) or meet only at +/-inf where the
+# strict entry < t_run cull kills them — fuzz-checked over 2e5 rays
+# including zero-component directions.
+_DEAD_ROW = np.array([3e38, -3e38, 0.0, 3e38, -3e38, 0.0, 0.0, 0.0],
+                     np.float32)
 
 
 @dataclasses.dataclass
@@ -60,7 +78,7 @@ class MeshBVH:
     contiguous (CLUSTER, 128) slab (rows padded to the 128-lane DMA
     alignment; cols 0-18 carry data).  Material ids ride as f32 (exact for
     ids < 2^24).  Bounds rows are [lbx lby lbz ubx uby ubz 0 0]; padding
-    nodes carry inverted boxes that can never pass the slab test.
+    rows carry the _DEAD_ROW box, which can never pass the slab test.
     """
 
     faces_packed: jnp.ndarray    # (Fp, 128) f32 (cols 0-18 used)
@@ -84,6 +102,20 @@ class MeshBVH:
     @property
     def n_hypers(self) -> int:
         return self.hyper_bounds.shape[0]
+
+    # Real (unpadded) node counts, derivable statically from num_faces.
+    # Rows past these are DEAD padding (never live in the slab test).
+    @property
+    def n_clusters_real(self) -> int:
+        return max(1, -(-self.num_faces // CLUSTER))
+
+    @property
+    def n_supers_real(self) -> int:
+        return -(-self.n_clusters_real // FANOUT)
+
+    @property
+    def n_hypers_real(self) -> int:
+        return -(-self.n_supers_real // FANOUT)
 
 
 jax.tree_util.register_dataclass(
@@ -121,11 +153,10 @@ def _bounds_rows(vmin: np.ndarray, vmax: np.ndarray, pad_to: int) -> np.ndarray:
     """Stack (n,3) min/max into widened (pad_to, 8) rows."""
     n = vmin.shape[0]
     widen = _WIDEN_REL * np.maximum(np.abs(vmin), np.abs(vmax)) + _WIDEN_ABS
-    rows = np.full((pad_to, 8), 0.0, np.float32)
-    rows[:, 0:3] = _PAD_LB
-    rows[:, 3:6] = _PAD_UB
+    rows = np.tile(_DEAD_ROW, (pad_to, 1))
     rows[:n, 0:3] = (vmin - widen).astype(np.float32)
     rows[:n, 3:6] = (vmax + widen).astype(np.float32)
+    rows[:n, 6:8] = 0.0
     return rows
 
 
@@ -147,7 +178,7 @@ def _group_bounds(lb: np.ndarray, ub: np.ndarray, group: int,
     return glb, gub, _bounds_rows(glb, gub, pad)
 
 
-MIN_PACKED_ROWS = 8192   # 4 MiB floor for the HBM face table (see below)
+MIN_PACKED_ROWS = 0   # no floor needed: padding rows are dead-row encoded
 
 
 def build_mesh_bvh(vertices: np.ndarray, normals: np.ndarray,
@@ -161,16 +192,16 @@ def build_mesh_bvh(vertices: np.ndarray, normals: np.ndarray,
     the caller must apply the same permutation to its own face arrays so the
     brute-force path shares the BVH's face order (and tie-breaks).
 
-    ``min_packed_rows``: lower bound on the packed face table's row count
-    (default 8192 rows = 4 MiB).  Rows past the real clusters are inert
-    (padding clusters carry inverted boxes and are never descended, so the
-    extra rows are never DMA'd).  The floor is a WORKAROUND, root-caused
-    on hardware (r4, tools/hw_bvh_check.py): face tables under ~3 MiB get
-    placed by this toolchain where the kernel's manual async-copy cannot
-    legally source (runtime FAILED_PRECONDITION on every small mesh, with
-    pl.ANY *and* with an explicit pltpu.HBM pin), while the same mesh
-    padded past the threshold runs and matches the dense scan bitwise.
-    4 MiB of HBM per mesh is noise next to correctness.
+    ``min_packed_rows``: optional lower bound on the packed face table's
+    row count.  Default 0 — no floor.  History: rounds 3/4 chased
+    "small-mesh" FAILED_PRECONDITION faults and briefly shipped a 4 MiB
+    floor here on a mistaken HBM-placement theory; the actual root cause
+    was the padding-row encoding (see _DEAD_ROW above): "inverted" padding
+    boxes pass the orderless slab test, so any mesh whose level sizes
+    required padding rows descended out-of-bounds children and issued
+    out-of-bounds face DMAs.  With dead-row padding, 512-face soups and
+    the 5,120-face blob run and match the dense scan bitwise on hardware
+    with no floor (tools/hw_bvh_check.py, r4).
     """
     vertices = np.asarray(vertices, np.float32)
     normals = np.asarray(normals, np.float32)

@@ -367,7 +367,7 @@ def translate_mesh(mesh, delta: jnp.ndarray):
     A pure translation is rigid, so an attached BVH shifts exactly: vertex
     columns of ``faces_packed`` and the lb/ub columns of every bounds level
     move by ``delta`` (normals and the tree topology are unchanged; padding
-    nodes keep their inverted can't-hit boxes).  No rebuild needed.
+    nodes keep their dead-row can't-hit boxes).  No rebuild needed.
     """
     delta = jnp.asarray(delta, jnp.float32)
     bvh = getattr(mesh, "bvh", None)

@@ -202,11 +202,11 @@ def _mesh_bvh_call(bvh: MeshBVH, rays: jnp.ndarray, interpret: bool):
         in_specs=[
             pl.BlockSpec((1, 8, lanes), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            # Faces EXPLICITLY in HBM: pl.ANY lets the compiler place small
-            # meshes' face tables in VMEM, and the manual async-copy from a
-            # VMEM-resident ANY ref into the slab scratch faults at runtime
-            # (observed FAILED_PRECONDITION on every sub-3MB mesh while the
-            # 40 MB statue — HBM-forced by size — ran fine).
+            # Faces explicitly in HBM: mesh size stays HBM-bound, and the
+            # manual async-copy below has an unambiguous source space.
+            # (The r3/r4 "small-mesh" runtime faults were NOT a placement
+            # issue: they were out-of-bounds face DMAs caused by always-
+            # live padding bounds rows — fixed in ops/bvh.py _DEAD_ROW.)
             pl.BlockSpec(memory_space=pltpu.ANY if not hasattr(pltpu, "HBM")
                          else pltpu.HBM),
             vmem(), vmem(), vmem(),                 # bounds tables

@@ -32,12 +32,14 @@ results are bitwise equal to ``mesh_intersect_v`` *regardless of visit
 order* (tests/test_bvh.py, tests/test_bvh_hw.py on hardware).
 
 History: this kernel faulted on every small mesh in round 3 and was
-reverted; the root cause (r4, hardware-bisected) was the sub-3 MiB HBM
-face table placement bug, fixed for both kernels by ops/bvh.py's
-MIN_PACKED_ROWS floor — not anything in this traversal.  The r3
-hardening is kept: separate 2D DMA buffers + scalar semaphores per slot,
-every DMA-guarding predicate staged through SMEM, bounds tables padded
-to >= 2*FANOUT rows (ops/bvh.py).
+reverted; the root cause (r4, hardware-bisected) was the padding bounds
+rows — "inverted" boxes pass the orderless slab test, so padded levels
+descended out-of-bounds children and issued out-of-bounds face DMAs.
+Fixed for all kernels by ops/bvh.py's _DEAD_ROW padding encoding — not
+anything in this traversal.  The r3 hardening is kept: separate 2D DMA
+buffers + scalar semaphores per slot, every DMA-guarding predicate
+staged through SMEM, bounds tables padded to >= 2*FANOUT rows
+(ops/bvh.py).
 
 Reference anchor: replaces the per-ray brute-force triangle loop,
 /root/reference/Inference/src/pathtrace.cu:258-281.
@@ -340,12 +342,15 @@ def _mesh_bvh_call_v3(bvh: MeshBVH, rays: jnp.ndarray, interpret: bool):
     n_tiles = rays.shape[0]
     assert bvh.n_hypers % FANOUT == 0, bvh.n_hypers
     kernel = _build_kernel(bvh.n_hypers // FANOUT)
-    # Root box = union of the (widened) hyper boxes; padding rows carry
-    # inverted boxes so min/max ignore them.  Stored as 8 identical rows —
-    # a full (8, 8) f32 sublane tile; the kernel reads row 0.
+    # Root box = union of the REAL (widened) hyper boxes; padding rows are
+    # dead-box encoded (ops/bvh.py _DEAD_ROW) and must be excluded from the
+    # union or they'd blow it up to the whole universe.  Stored as 8
+    # identical rows — a full (8, 8) f32 sublane tile; the kernel reads
+    # row 0.
+    hr = bvh.hyper_bounds[:bvh.n_hypers_real]
     root = jnp.tile(jnp.concatenate([
-        jnp.min(bvh.hyper_bounds[:, 0:3], axis=0),
-        jnp.max(bvh.hyper_bounds[:, 3:6], axis=0),
+        jnp.min(hr[:, 0:3], axis=0),
+        jnp.max(hr[:, 3:6], axis=0),
         jnp.zeros((2,), jnp.float32)]).reshape(1, 8), (8, 1))
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
@@ -354,8 +359,7 @@ def _mesh_bvh_call_v3(bvh: MeshBVH, rays: jnp.ndarray, interpret: bool):
         in_specs=[
             pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            # Faces in HBM; ops/bvh.py pads the table past the small-array
-            # placement bug (MIN_PACKED_ROWS note).
+            # Faces explicitly in HBM (mesh size stays HBM-bound).
             pl.BlockSpec(memory_space=pltpu.ANY if not hasattr(pltpu, "HBM")
                          else pltpu.HBM),
             vmem(), vmem(), vmem(), vmem(),         # bounds tables + root

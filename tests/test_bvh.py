@@ -58,8 +58,13 @@ def test_build_invariants():
         c = i // CLUSTER
         assert np.all(v[i].min(0) >= cb[c, 0:3] - 1e-5)
         assert np.all(v[i].max(0) <= cb[c, 3:6] + 1e-5)
-    # padding clusters inverted
-    assert np.all(cb[k:, 0:3] > cb[k:, 3:6])
+    # padding clusters carry the DEAD-box row: per-axis point intervals at
+    # +3e38 / -3e38 / 0 that can never jointly pass the orderless slab
+    # test.  (A merely "inverted" box is NOT dead there — the per-axis
+    # min/max neutralizes inversion, which is what caused the small-mesh
+    # OOB-DMA faults on hardware.)
+    from ai_path_tracer_denoiser_tpu.ops.bvh import _DEAD_ROW
+    assert np.all(cb[k:] == _DEAD_ROW)
     # clusters inside supers inside hypers
     sb = np.asarray(bvh.super_bounds)
     hb = np.asarray(bvh.hyper_bounds)

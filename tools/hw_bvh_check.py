@@ -214,7 +214,7 @@ def main():
         res = _bitwise_stage("scenes/cornell_mesh_blob.txt")
     elif stage == "blob_padded":
         # decisive small-mesh experiment: same blob, face table padded
-        # past the observed ~3 MB fault threshold
+        # past the once-suspected size threshold (kept as a regression probe)
         res = _bitwise_stage("scenes/cornell_mesh_blob.txt",
                              min_packed_rows=8192)
     elif stage == "statue":
