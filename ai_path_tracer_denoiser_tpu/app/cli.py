@@ -72,7 +72,8 @@ def _render_options(args):
     for flag in ("stream_compaction", "sort_material", "cache_first_bounce",
                  "ray_culling", "antialias", "motion_blur", "denoise",
                  "mesh_normal_view", "fresnels", "dielectric",
-                 "mesh_octant_sort", "mesh_kernel_lanes", "mesh_kernel_impl"):
+                 "mesh_octant_sort", "mesh_kernel_lanes", "mesh_kernel_impl",
+                 "mesh_sort_cells"):
         if getattr(args, flag, None) is not None:
             kwargs[flag] = getattr(args, flag)
     if getattr(args, "rng", None):
@@ -517,6 +518,10 @@ def main(argv=None):
                         action="store_true", default=None)
         sp.add_argument("--no-mesh-octant-sort", dest="mesh_octant_sort",
                         action="store_false", default=None)
+        sp.add_argument("--mesh-sort-cells", dest="mesh_sort_cells",
+                        type=int, default=None,
+                        help="with octant sort, origin-cell Morton major "
+                             "key over N^3 cells (0 = octant only)")
         sp.add_argument("--mesh-kernel-lanes", type=int, default=None,
                         help="rays per BVH-kernel program for secondary "
                              "bounces (128 or 1024)")

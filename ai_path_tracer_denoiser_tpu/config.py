@@ -53,12 +53,22 @@ class RenderOptions:
     # Primary rays (depth 0) always use the coherent-optimal 1024.
     # Bitwise-identical results either way (pure work partitioning).
     mesh_kernel_lanes: int = 1024
+    # With mesh_octant_sort, additionally sort secondary rays by an
+    # origin-cell Morton MAJOR key (mesh_sort_cells^3 cells over the ray
+    # batch's own origin bounds): subtiles then share position AND
+    # direction, shrinking the node set each one descends.  0 = octant
+    # only.  Bitwise-identical results (pure permutation).
+    mesh_sort_cells: int = 8
     # BVH traversal kernel: "v2" = index-order descent, tile-wide gating
-    # (render/mesh_kernel.py); "v3" = front-to-back sorted descent with
-    # 128-ray subtile gating and pipelined cluster DMA
-    # (render/mesh_kernel_v3.py).  Bitwise-identical results (both match
-    # the dense scan exactly); purely a traversal-work/perf choice.
-    mesh_kernel_impl: str = "v2"
+    # (render/mesh_kernel.py); "v2p" = v2 traversal with batched sibling
+    # liveness + 8-slot pipelined cluster DMA (render/mesh_kernel_v2p.py,
+    # the measured-fastest default); "v3" = front-to-back sorted descent
+    # with 128-ray subtile gating (render/mesh_kernel_v3.py).  All
+    # bitwise-identical results (each matches the dense scan exactly,
+    # hardware-verified tools/hw_bvh_check.py); purely a traversal-work
+    # choice.  Statue depth-8 matrix (r4, same-session contention-
+    # comparable): v2+octant 3433 -> v2p+octant 3052 -> v2p+cell8 2601.
+    mesh_kernel_impl: str = "v2p"
 
     # --- effects (pathtrace.cu:25-28) ---
     antialias: bool = True            # sub-pixel jitter, pathtrace.cu:168-173

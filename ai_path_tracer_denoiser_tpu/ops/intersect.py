@@ -346,6 +346,7 @@ def intersect_scene_v(geoms: Geoms, mesh: MeshData, o: Vec3, d: Vec3,
                       use_bvh: Optional[bool] = None,
                       active: Optional[jnp.ndarray] = None,
                       octant_sort: bool = False,
+                      sort_cells: int = 0,
                       kernel_lanes: Optional[int] = None,
                       kernel_impl: str = "v2"):
     """Closest-hit query (SoA): dict with planes/Vec3 values; t==-1 on miss.
@@ -362,6 +363,10 @@ def intersect_scene_v(geoms: Geoms, mesh: MeshData, o: Vec3, d: Vec3,
     much smaller union of tree nodes per subtile.  Costs two argsorts +
     gathers per query; a pure permutation round-trip, so results are
     unchanged bit-for-bit.
+    ``sort_cells``: with octant_sort, additionally make an origin-cell
+    Morton index (sort_cells^3 cells over the batch's own origin bounds)
+    the MAJOR sort key — subtiles then share position and direction.
+    0/1 disables (octant-only).
     ``kernel_lanes``: rays per BVH-kernel program (the descent-gating
     granule; see mesh_intersect_bvh).  None = the kernel default (1024).
     """
@@ -401,8 +406,29 @@ def intersect_scene_v(geoms: Geoms, mesh: MeshData, o: Vec3, d: Vec3,
                 key = ((d.x < 0).astype(jnp.int32) * 4
                        + (d.y < 0).astype(jnp.int32) * 2
                        + (d.z < 0).astype(jnp.int32))
+                if sort_cells > 1:
+                    # ORIGIN-cell major key: quantize origins over their
+                    # own (per-call) bounding box into sort_cells^3 Morton
+                    # cells, so each kernel subtile holds rays that share
+                    # position AND direction — the node set a subtile
+                    # descends is then bounded by one cone, not the whole
+                    # scene's.  Pure permutation; bitwise-identical.
+                    n_bits = max(1, int(np.ceil(np.log2(sort_cells))))
+                    cell = jnp.zeros_like(key)
+                    for shift, c in ((2, o.x), (1, o.y), (0, o.z)):
+                        lo_ = jnp.min(c)
+                        ext = jnp.maximum(jnp.max(c) - lo_, 1e-12)
+                        q = jnp.clip(((c - lo_) / ext
+                                      * sort_cells).astype(jnp.int32),
+                                     0, sort_cells - 1)
+                        # spread bits to stride 3 (Morton interleave)
+                        m = jnp.zeros_like(q)
+                        for b in range(n_bits):
+                            m = m | (((q >> b) & 1) << (3 * b))
+                        cell = cell | (m << shift)
+                    key = (cell << 3) | key
                 # dead lanes to the back so live subtiles stay dense
-                key = jnp.where(t_cull == -jnp.inf, jnp.int32(8), key)
+                key = jnp.where(t_cull == -jnp.inf, jnp.int32(1 << 30), key)
                 perm = jnp.argsort(key, stable=True)
                 os_ = Vec3(o.x[perm], o.y[perm], o.z[perm])
                 ds_ = Vec3(d.x[perm], d.y[perm], d.z[perm])

@@ -331,6 +331,7 @@ def trace_iteration(scene: Scene, options: RenderOptions,
                                   use_bvh=use_bvh, active=remaining != 0,
                                   octant_sort=options.mesh_octant_sort
                                   and use_bvh,
+                                  sort_cells=options.mesh_sort_cells,
                                   kernel_lanes=options.mesh_kernel_lanes,
                                   kernel_impl=options.mesh_kernel_impl)
         ray_o, ray_d, color, remaining = _shade(

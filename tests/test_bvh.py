@@ -223,11 +223,15 @@ def test_octant_sort_is_bitwise_identity():
     ov, dv = _rays(640, seed=11)
     a = intersect_scene_v(scene.geoms, scene.mesh, ov, dv, octant_sort=False)
     b = intersect_scene_v(scene.geoms, scene.mesh, ov, dv, octant_sort=True)
-    for k in ("t", "material_id"):
-        assert np.array_equal(np.asarray(a[k]), np.asarray(b[k])), k
-    for ca, cb_ in ((a["point"], b["point"]), (a["normal"], b["normal"])):
-        for pa, pb in ((ca.x, cb_.x), (ca.y, cb_.y), (ca.z, cb_.z)):
-            assert np.array_equal(np.asarray(pa), np.asarray(pb))
+    c = intersect_scene_v(scene.geoms, scene.mesh, ov, dv, octant_sort=True,
+                          sort_cells=4)
+    for res in (b, c):
+        for k in ("t", "material_id"):
+            assert np.array_equal(np.asarray(a[k]), np.asarray(res[k])), k
+        for ca, cb_ in ((a["point"], res["point"]),
+                        (a["normal"], res["normal"])):
+            for pa, pb in ((ca.x, cb_.x), (ca.y, cb_.y), (ca.z, cb_.z)):
+                assert np.array_equal(np.asarray(pa), np.asarray(pb))
 
 
 def test_v3_kernel_bitwise_equals_scan():

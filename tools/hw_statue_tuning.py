@@ -35,24 +35,31 @@ def main():
     assert jax.default_backend() != "cpu"
     statue = load_scene("scenes/cornell_mesh_statue.txt")
     results = {}
-    configs = [("l1024", 1024, False, "v2"),
-               ("l128", 128, False, "v2"),
-               ("l128_oct", 128, True, "v2"),
-               ("l1024_oct", 1024, True, "v2"),
-               ("v3", 128, False, "v3"),
-               ("v3_oct", 128, True, "v3"),
-               ("v2p", 1024, False, "v2p"),
-               ("v2p_oct", 1024, True, "v2p"),
-               ("v2p_oct_l128", 128, True, "v2p")]
+    configs = [("l1024", 1024, False, "v2", 0),
+               ("l128", 128, False, "v2", 0),
+               ("l128_oct", 128, True, "v2", 0),
+               ("l1024_oct", 1024, True, "v2", 0),
+               ("v3", 128, False, "v3", 0),
+               ("v3_oct", 128, True, "v3", 0),
+               ("v2p", 1024, False, "v2p", 0),
+               ("v2p_oct", 1024, True, "v2p", 0),
+               ("v2p_oct_l128", 128, True, "v2p", 0),
+               ("v2p_cell4", 1024, True, "v2p", 4),
+               ("v2p_cell8", 1024, True, "v2p", 8),
+               ("v2p_cell4_l128", 128, True, "v2p", 4),
+               ("v2p_cell8_l128", 128, True, "v2p", 8),
+               ("v2_cell8", 1024, True, "v2", 8),
+               ("v2_cell8_l128", 128, True, "v2", 8)]
     only = os.environ.get("APTD_STATUE_CONFIGS")
     if only:
         names = set(only.split(","))
         configs = [c for c in configs if c[0] in names]
     iters = int(os.environ.get("APTD_STATUE_ITERS", "4"))
-    for name, lanes, octant, impl in configs:
+    for name, lanes, octant, impl, cells in configs:
         opts = RenderOptions(mesh_kernel_lanes=lanes,
                              mesh_octant_sort=octant,
-                             mesh_kernel_impl=impl)
+                             mesh_kernel_impl=impl,
+                             mesh_sort_cells=cells)
         t0 = time.perf_counter()
         _, _, state = render(statue, opts, num_iterations=1)
         np.asarray(state.accum.x[:1])
