@@ -525,7 +525,7 @@ def main(argv=None):
         sp.add_argument("--mesh-kernel-lanes", type=int, default=None,
                         help="rays per BVH-kernel program for secondary "
                              "bounces (128 or 1024)")
-        sp.add_argument("--mesh-kernel-impl", choices=("v2", "v2p", "v3"),
+        sp.add_argument("--mesh-kernel-impl", choices=("v2", "v2p", "v2s", "v3"),
                         default=None,
                         help="BVH traversal kernel (bitwise-identical "
                              "results; perf/experimental choice)")

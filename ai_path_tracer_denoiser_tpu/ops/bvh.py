@@ -38,7 +38,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-CLUSTER = 32      # faces per cluster (one MT block per visit)
+import os as _os
+
+# Faces per cluster (one MT block per visit).  Bigger clusters halve the
+# per-visit fixed cost (DMA issue + predicate staging + loop trip) at the
+# price of more MT arithmetic per visit; results are bitwise-identical
+# for any value (the block one-hot + cross-cluster merge reproduce the
+# dense scan's total order).  Env override is a measurement lever.
+CLUSTER = int(_os.environ.get("APTD_BVH_CLUSTER", "32"))
 FANOUT = 8        # clusters per super, supers per hyper
 
 # Relative AABB widening: covers worst-case f32 rounding in the slab test.

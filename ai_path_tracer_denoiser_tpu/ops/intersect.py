@@ -363,10 +363,11 @@ def intersect_scene_v(geoms: Geoms, mesh: MeshData, o: Vec3, d: Vec3,
     much smaller union of tree nodes per subtile.  Costs two argsorts +
     gathers per query; a pure permutation round-trip, so results are
     unchanged bit-for-bit.
-    ``sort_cells``: with octant_sort, additionally make an origin-cell
-    Morton index (sort_cells^3 cells over the batch's own origin bounds)
-    the MAJOR sort key — subtiles then share position and direction.
-    0/1 disables (octant-only).
+    ``sort_cells``: with octant_sort, additionally sort by an origin-cell
+    Morton index (|sort_cells|^3 cells over the batch's own origin
+    bounds) — subtiles then share position and direction.  Positive:
+    cell is the MAJOR key; negative: octant is the major key, cells
+    ordered within it.  0/1 disables (octant-only).
     ``kernel_lanes``: rays per BVH-kernel program (the descent-gating
     granule; see mesh_intersect_bvh).  None = the kernel default (1024).
     """
@@ -383,9 +384,12 @@ def intersect_scene_v(geoms: Geoms, mesh: MeshData, o: Vec3, d: Vec3,
                                        lanes=None):
                     return mesh_intersect_bvh_v3(bvh, o_, d_, tc_,
                                                  interpret=interpret)
-            elif kernel_impl == "v2p":
-                from ..render.mesh_kernel_v2p import (
-                    mesh_intersect_bvh_v2p as mesh_intersect_bvh)
+            elif kernel_impl in ("v2p", "v2s"):
+                import functools as _ft
+
+                from ..render.mesh_kernel_v2p import mesh_intersect_bvh_v2p
+                mesh_intersect_bvh = _ft.partial(
+                    mesh_intersect_bvh_v2p, subtile=kernel_impl == "v2s")
             else:
                 from ..render.mesh_kernel import mesh_intersect_bvh
             # Seed the kernel's running t with the analytic-geom hit: the
@@ -406,13 +410,15 @@ def intersect_scene_v(geoms: Geoms, mesh: MeshData, o: Vec3, d: Vec3,
                 key = ((d.x < 0).astype(jnp.int32) * 4
                        + (d.y < 0).astype(jnp.int32) * 2
                        + (d.z < 0).astype(jnp.int32))
-                if sort_cells > 1:
+                if sort_cells > 1 or sort_cells < -1:
                     # ORIGIN-cell major key: quantize origins over their
                     # own (per-call) bounding box into sort_cells^3 Morton
                     # cells, so each kernel subtile holds rays that share
                     # position AND direction — the node set a subtile
                     # descends is then bounded by one cone, not the whole
                     # scene's.  Pure permutation; bitwise-identical.
+                    octant_major = sort_cells < 0
+                    sort_cells = abs(sort_cells)
                     n_bits = max(1, int(np.ceil(np.log2(sort_cells))))
                     cell = jnp.zeros_like(key)
                     for shift, c in ((2, o.x), (1, o.y), (0, o.z)):
@@ -426,7 +432,13 @@ def intersect_scene_v(geoms: Geoms, mesh: MeshData, o: Vec3, d: Vec3,
                         for b in range(n_bits):
                             m = m | (((q >> b) & 1) << (3 * b))
                         cell = cell | (m << shift)
-                    key = (cell << 3) | key
+                    if octant_major:
+                        # octant-major: each tile holds ONE direction
+                        # octant, cells ordered within it (tight cones
+                        # for wide 1024-lane tiles)
+                        key = (key << (3 * n_bits)) | cell
+                    else:
+                        key = (cell << 3) | key
                 # dead lanes to the back so live subtiles stay dense
                 key = jnp.where(t_cull == -jnp.inf, jnp.int32(1 << 30), key)
                 perm = jnp.argsort(key, stable=True)

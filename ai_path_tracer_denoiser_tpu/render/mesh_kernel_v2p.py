@@ -16,10 +16,13 @@ conservative only, so results remain bitwise-equal to the dense scan:
 visits stay in ascending cluster order and the merge keeps v2's strict-<
 rule (first-minimal cluster wins ties, the scan's semantics).
 
-Diagnostic role: v3 (front-to-back sorted descent) faults at runtime on
-small meshes; v2p carries v3's multi-slot DMA machinery WITHOUT its
-sorting-network/SMEM-visit-order machinery, so its hardware behavior
-bisects which half is at fault.
+``subtile=True`` ("v2s") additionally gates each cluster's MT block per
+128-lane column on that column's own slab liveness.  Measured on
+hardware (r4): SLOWER than plain v2p on the sorted statue workload
+(3.5 s vs 2.5-2.6 s/frame) — the octant/cell sort packs live rays
+densely, so whole tiles are live and the extra per-column slab tests
+and predicates buy nothing.  Kept as a verified experiment point (it
+would win on UNSORTED sparse workloads) and exercised by tests.
 
 Reference anchor: the per-ray brute-force loop it replaces,
 /root/reference/Inference/src/pathtrace.cu:258-281.
@@ -60,7 +63,10 @@ def _slab_live_batch(rows, o: Vec3, inv: Vec3, t_run):
     return (tmax >= tmin) & (tmax >= 0.0) & (jnp.maximum(tmin, 0.0) < t_run)
 
 
-def _build_kernel(n_hypers: int):
+def _build_kernel(n_hypers: int, lanes: int, subtile: bool):
+    n_sub = lanes // 128 if subtile else 1
+    sub_w = lanes // n_sub
+
     def kernel(rays_ref, faces_ref, cb_ref, sb_ref, hb_ref, out_ref,
                state, *scr):
         fbufs, fsems = scr[0:FANOUT], scr[FANOUT:2 * FANOUT]
@@ -76,14 +82,29 @@ def _build_kernel(n_hypers: int):
             state[r:r + 1, :] = zero
         state[7:8, :] = zero - 1.0
 
-        def mt_cluster(slot, k):
-            """(CLUSTER, LANES) MT block from slot — v2's exact math."""
-            t_run = state[0:1, :]
+        def mt_cluster(slot, k, sub):
+            """(CLUSTER, sub_w) MT block on lane slice ``sub`` — v2's math.
+
+            ``sub`` picks a static 128-lane column slice; with subtile
+            gating only the slices that actually want cluster ``k`` pay
+            the arithmetic.  The math per lane is identical to the full-
+            width block (elementwise in the lane axis), so gating
+            granularity never changes results.
+            """
+            a, b = sub * sub_w, (sub + 1) * sub_w
+            # Lane-offset slices of COMPUTED vectors don't lower (Mosaic
+            # 'invalid input layout'); slice the refs instead — static
+            # ref offsets lower fine.
+            o_s = Vec3(rays_ref[0, 0:1, a:b], rays_ref[0, 1:2, a:b],
+                       rays_ref[0, 2:3, a:b])
+            d_s = Vec3(rays_ref[0, 3:4, a:b], rays_ref[0, 4:5, a:b],
+                       rays_ref[0, 5:6, a:b])
+            t_run = state[0:1, a:b]
             vb = fbufs[slot][:]                              # (32, 128)
             v0 = Vec3(vb[:, 0:1], vb[:, 1:2], vb[:, 2:3])
             v1 = Vec3(vb[:, 3:4], vb[:, 4:5], vb[:, 5:6])
             v2_ = Vec3(vb[:, 6:7], vb[:, 7:8], vb[:, 8:9])
-            t, u, w_, hit = _triangle_t(v0, v1, v2_, o, d)
+            t, u, w_, hit = _triangle_t(v0, v1, v2_, o_s, d_s)
             t = jnp.where(hit & (t > 0.0), t, _INF)
             tmin = jnp.min(t, axis=0, keepdims=True)
             ismin = t == tmin
@@ -99,15 +120,17 @@ def _build_kernel(n_hypers: int):
             p_full = v0 * u + v1 * w_ + v2_ * v
             n_full = n0 * v + n1 * u + n2 * w_
 
-            def sel(a):
-                return jnp.sum(jnp.where(first, a, 0.0), axis=0, keepdims=True)
+            def sel(a_):
+                return jnp.sum(jnp.where(first, a_, 0.0), axis=0,
+                               keepdims=True)
 
             mb = vb[:, 18:19]
             m_c = jnp.sum(jnp.where(first, mb, 0.0), axis=0, keepdims=True)
             news = (tmin, sel(p_full.x), sel(p_full.y), sel(p_full.z),
                     sel(n_full.x), sel(n_full.y), sel(n_full.z), m_c)
             for r, val in enumerate(news):
-                state[r:r + 1, :] = jnp.where(better, val, state[r:r + 1, :])
+                state[r:r + 1, a:b] = jnp.where(better, val,
+                                                state[r:r + 1, a:b])
 
         def clusters_of(s):
             """Visit super ``s``'s live clusters, DMAs all started first.
@@ -115,7 +138,10 @@ def _build_kernel(n_hypers: int):
             Static unroll (8 start + 8 wait/MT sites) so every DMA slot
             index is static; predicates staged through SMEM (the r3
             hardening: DMAs guarded directly on vector-reduce results
-            faulted on hardware).
+            faulted on hardware).  With ``subtile``, each 128-lane column
+            gates its own MT block on its own liveness — the kernel is
+            MT-flop-bound (cluster-size sweeps are flat), so skipping
+            dead columns cuts the dominant cost directly.
             """
             base = s * FANOUT
             live8 = _slab_live_batch(cb_ref[pl.ds(base, FANOUT), :], o, inv,
@@ -134,14 +160,29 @@ def _build_kernel(n_hypers: int):
                     pltpu.make_async_copy(
                         faces_ref.at[pl.ds((base + c) * CLUSTER, CLUSTER), :],
                         fbufs[c], fsems[c]).wait()
-                    # re-test: earlier siblings may have tightened t_run
-                    live2 = _slab_live(cb_ref[pl.ds(base + c, 1), :], o,
-                                       inv, state[0:1, :])
-                    smp[FANOUT + c] = jnp.any(live2).astype(jnp.int32)
+                    # re-test: earlier siblings may have tightened t_run.
+                    # In subtile mode each 128-lane column runs its OWN
+                    # slab test on ref slices (lane-offset slices of
+                    # computed vectors and (1,L)->(n,128) reshapes both
+                    # fail to lower in Mosaic) — same total flops as one
+                    # full-width test.
+                    for sub in range(n_sub):
+                        a, b = sub * sub_w, (sub + 1) * sub_w
+                        o_s = Vec3(rays_ref[0, 0:1, a:b],
+                                   rays_ref[0, 1:2, a:b],
+                                   rays_ref[0, 2:3, a:b])
+                        d_s = Vec3(rays_ref[0, 3:4, a:b],
+                                   rays_ref[0, 4:5, a:b],
+                                   rays_ref[0, 5:6, a:b])
+                        inv_s = Vec3(1.0 / d_s.x, 1.0 / d_s.y, 1.0 / d_s.z)
+                        live2 = _slab_live(cb_ref[pl.ds(base + c, 1), :],
+                                           o_s, inv_s, state[0:1, a:b])
+                        smp[FANOUT + c * n_sub + sub] = jnp.any(
+                            live2).astype(jnp.int32)
 
-                    @pl.when(smp[FANOUT + c] != 0)
-                    def _():
-                        mt_cluster(c, base + c)
+                        @pl.when(smp[FANOUT + c * n_sub + sub] != 0)
+                        def _(c=c, sub=sub):
+                            mt_cluster(c, base + c, sub)
 
         def supers_of(h, j):
             s = h * FANOUT + j
@@ -178,10 +219,11 @@ def _build_kernel(n_hypers: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _mesh_bvh_call_v2p(bvh: MeshBVH, rays: jnp.ndarray, interpret: bool):
+@functools.partial(jax.jit, static_argnames=("interpret", "subtile"))
+def _mesh_bvh_call_v2p(bvh: MeshBVH, rays: jnp.ndarray, interpret: bool,
+                       subtile: bool = False):
     n_tiles, _, lanes = rays.shape
-    kernel = _build_kernel(bvh.n_hypers)
+    kernel = _build_kernel(bvh.n_hypers, lanes, subtile)
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
@@ -201,7 +243,8 @@ def _mesh_bvh_call_v2p(bvh: MeshBVH, rays: jnp.ndarray, interpret: bool):
             + [pltpu.VMEM((CLUSTER, 128), jnp.float32)
                for _ in range(FANOUT)]
             + [pltpu.SemaphoreType.DMA(()) for _ in range(FANOUT)]
-            + [pltpu.SMEM((2 * FANOUT,), jnp.int32)]
+            + [pltpu.SMEM((FANOUT + FANOUT * max(1, lanes // 128),),
+                          jnp.int32)]
         ),
         interpret=interpret,
     )(rays, bvh.faces_packed,
@@ -213,8 +256,13 @@ def mesh_intersect_bvh_v2p(bvh: MeshBVH, o: Vec3, d: Vec3,
                            t_cull: Optional[jnp.ndarray] = None,
                            interpret: bool = False,
                            lanes: Optional[int] = None,
+                           subtile: bool = False,
                            ) -> Tuple[jnp.ndarray, Vec3, Vec3, jnp.ndarray]:
-    """v2p closest-hit query; contract identical to mesh_intersect_bvh."""
+    """v2p closest-hit query; contract identical to mesh_intersect_bvh.
+
+    ``subtile``: gate each cluster's MT block per 128-lane column on that
+    column's own liveness (bitwise-identical; cuts MT flops on
+    incoherent, sorted ray batches)."""
     if bvh.num_faces > MAX_KERNEL_FACES:
         raise ValueError(f"mesh has {bvh.num_faces} faces > "
                          f"{MAX_KERNEL_FACES}")
@@ -237,7 +285,7 @@ def mesh_intersect_bvh_v2p(bvh: MeshBVH, o: Vec3, d: Vec3,
         zrow,
     ]).reshape(8, n_tiles, lanes).swapaxes(0, 1)
 
-    out = _mesh_bvh_call_v2p(bvh, rays, interpret)
+    out = _mesh_bvh_call_v2p(bvh, rays, interpret, subtile)
     flat = out.swapaxes(0, 1).reshape(8, -1)[:, :n]
     mat = flat[7].astype(jnp.int32)
     return (flat[0], Vec3(flat[1], flat[2], flat[3]),

@@ -313,15 +313,21 @@ def test_v2p_kernel_bitwise_equals_scan():
     mesh = make_mesh(verts[order], norms[order], mats[order], build_bvh=False)
     ov, dv = _rays()
     t_ref, p_ref, n_ref, m_ref = mesh_intersect_v(mesh, ov, dv)
-    t_k, p_k, n_k, m_k = mesh_intersect_bvh_v2p(bvh, ov, dv, interpret=True)
-    assert np.array_equal(np.asarray(t_ref), np.asarray(t_k))
-    assert np.array_equal(np.asarray(m_ref), np.asarray(m_k))
-    hit = np.isfinite(np.asarray(t_ref))
-    for ca, cb_ in ((p_ref.x, p_k.x), (p_ref.y, p_k.y), (p_ref.z, p_k.z)):
-        assert np.array_equal(np.asarray(ca)[hit], np.asarray(cb_)[hit])
-    for ca, cb_ in ((n_ref.x, n_k.x), (n_ref.y, n_k.y), (n_ref.z, n_k.z)):
-        np.testing.assert_allclose(np.asarray(ca)[hit], np.asarray(cb_)[hit],
-                                   rtol=5e-7, atol=1e-7)
+    for subtile in (False, True):   # v2p and v2s (per-128-lane MT gating)
+        t_k, p_k, n_k, m_k = mesh_intersect_bvh_v2p(bvh, ov, dv,
+                                                    interpret=True,
+                                                    subtile=subtile)
+        assert np.array_equal(np.asarray(t_ref), np.asarray(t_k)), subtile
+        assert np.array_equal(np.asarray(m_ref), np.asarray(m_k)), subtile
+        hit = np.isfinite(np.asarray(t_ref))
+        for ca, cb_ in ((p_ref.x, p_k.x), (p_ref.y, p_k.y),
+                        (p_ref.z, p_k.z)):
+            assert np.array_equal(np.asarray(ca)[hit], np.asarray(cb_)[hit])
+        for ca, cb_ in ((n_ref.x, n_k.x), (n_ref.y, n_k.y),
+                        (n_ref.z, n_k.z)):
+            np.testing.assert_allclose(np.asarray(ca)[hit],
+                                       np.asarray(cb_)[hit],
+                                       rtol=5e-7, atol=1e-7)
     dead = jnp.full((1536,), -np.inf, jnp.float32)
     t_d, _, _, m_d = mesh_intersect_bvh_v2p(bvh, ov, dv, t_cull=dead,
                                             interpret=True)
