@@ -179,3 +179,151 @@ def conv3x3_act(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
 
 def supported_height(h: int) -> bool:
     return h % TH == 0
+
+
+# ---------------------------------------------------------------------------
+# v2: channel-on-sublane / width-on-lane layout ("CHW-packed")
+# ---------------------------------------------------------------------------
+#
+# The layout above (W on sublanes, C on lanes) cannot DMA on this
+# toolchain: C < 128 makes the rank-3 slice's minor dim misaligned.  This
+# variant flips the packing to (H+2, Cp, Wp):
+#
+#   * Wp = W padded to a 128 multiple -> the DMA'd slice's MINOR dim is
+#     lane-aligned;
+#   * Cp = C padded to a 16 multiple -> the sublane dim is bf16-tile
+#     aligned;
+#   * H is the untiled major dim -> halo-band DMA offsets are free.
+#
+# Per output row y: B = packed rows [y, y+3) reshaped (3Cp, Wp); one MXU
+# contraction Z = A @ B with A[dx*Co+o, dy*Cp+c] = w[dy, dx, c, o] gives
+# all 9 taps; the dx alignment is two +-1 LANE ROTATES (tpu.rotate — the
+# one lane-shift primitive Mosaic does lower) whose wrapped-in columns
+# are exactly zero by the packing invariant (data cols [0, W); cols
+# [W, Wp) zero; matmul of zeros stays zero), plus a lane-iota mask that
+# re-establishes the invariant for the columns the rotate dirtied.
+# Bias / LeakyReLU / folded-BN affine ride per-channel on sublanes.
+
+TH2 = 8                 # output rows per grid program (v2 kernel)
+
+
+def pack_chw(x: jnp.ndarray, c_pad: Optional[int] = None) -> jnp.ndarray:
+    """(H, W, C) -> zero-padded (H+2, Cp, Wp) bf16-tile-aligned packing.
+
+    Data lives at rows [1, H+1), channels [0, C), cols [0, W); everything
+    else is zero (the SAME-conv halo + alignment padding).
+    """
+    h, w, c = x.shape
+    cp = c_pad if c_pad is not None else -(-c // 16) * 16
+    # at least ONE zero column past W: the dx lane-rotates wrap columns
+    # Wp-1 / W into the output edges and must wrap in zeros
+    wp = -(-(w + 1) // 128) * 128
+    y = jnp.transpose(x, (0, 2, 1))                    # (H, C, W)
+    return jnp.pad(y, ((1, 1), (0, cp - c), (0, wp - w)))
+
+
+def unpack_chw(y: jnp.ndarray, w_pix: int, c: int) -> jnp.ndarray:
+    """(H, Cp, Wp) kernel output -> (H, W, C)."""
+    return jnp.transpose(y[:, :c, :w_pix], (0, 2, 1))
+
+
+def pack_weights_chw(w: jnp.ndarray, cp: int, cop: int) -> jnp.ndarray:
+    """(3, 3, C, Co) -> A (3*cop, 3*cp): A[dx*cop+o, dy*cp+c]."""
+    _, _, c, co = w.shape
+    a = jnp.zeros((3, cop, 3, cp), w.dtype)
+    a = a.at[:, :co, :, :c].set(jnp.transpose(w, (1, 3, 0, 2)))
+    return a.reshape(3 * cop, 3 * cp)
+
+
+def _build_kernel_chw(th: int, cp: int, cop: int, w_pix: int, slope: float,
+                      out_dtype):
+    def kernel(xp_ref, wall_ref, b_ref, s_ref, t_ref, out_ref, buf, sem):
+        i = pl.program_id(0)
+        dma = pltpu.make_async_copy(
+            xp_ref.at[pl.ds(i * th, th + 2), :, :], buf, sem)
+        dma.start()
+        dma.wait()
+        wall = wall_ref[:]                       # (3Cop, 3Cp)
+        bias = b_ref[:]                          # (Cop, 1) f32
+        aff_s = s_ref[:]
+        aff_t = t_ref[:]
+        wp = buf.shape[-1]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (cop, wp), 1)
+        mask = lane < w_pix
+
+        for y in range(th):
+            b_op = buf[y:y + 3, :, :].reshape(3 * cp, wp)
+            z = jnp.dot(wall, b_op, preferred_element_type=jnp.float32)
+            # dx alignment: out[o, x] = Z0[o, x-1] + Z1[o, x] + Z2[o, x+1]
+            # pltpu.roll wants non-negative shifts: -1 == wp - 1
+            acc = (pltpu.roll(z[0:cop, :], 1, 1)
+                   + z[cop:2 * cop, :]
+                   + pltpu.roll(z[2 * cop:3 * cop, :], wp - 1, 1))
+            acc = acc + bias
+            acc = jnp.where(acc >= 0.0, acc, acc * slope)
+            acc = acc * aff_s + aff_t
+            acc = jnp.where(mask, acc, 0.0)
+            out_ref[y, :, :] = acc.astype(out_dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("w_pix", "slope", "interpret"))
+def _conv3x3_chw_call(xp, wall, bias, aff_s, aff_t, w_pix, slope,
+                      interpret):
+    hp, cp, wp = xp.shape
+    h = hp - 2
+    cop = wall.shape[0] // 3
+    assert h % TH2 == 0, (h, TH2)
+    out_dtype = xp.dtype
+    kernel = _build_kernel_chw(TH2, cp, cop, w_pix, float(slope), out_dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(h // TH2,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY if not hasattr(pltpu, "HBM")
+                         else pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TH2, cop, wp), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h, cop, wp), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((TH2 + 2, cp, wp), out_dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(xp, wall, bias, aff_s, aff_t)
+
+
+def conv3x3_act_chw(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
+                    slope: float,
+                    affine: Optional[dict] = None,
+                    interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Fused SAME conv3x3 + bias + LReLU [+ affine] via the CHW-packed
+    kernel.  x: (H, W, C) -> (H, W, Co), H % 8 == 0."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    h, w_pix, c = x.shape
+    co = w.shape[-1]
+    cp = -(-c // 16) * 16
+    cop = -(-co // 16) * 16
+    xp = pack_chw(x, cp)
+    wall = pack_weights_chw(w, cp, cop).astype(x.dtype)
+    bias = jnp.zeros((cop, 1), jnp.float32).at[:co, 0].set(
+        jnp.asarray(b, jnp.float32))
+    if affine is not None:
+        aff_s = jnp.ones((cop, 1), jnp.float32).at[:co, 0].set(
+            jnp.asarray(affine["s"], jnp.float32))
+        aff_t = jnp.zeros((cop, 1), jnp.float32).at[:co, 0].set(
+            jnp.asarray(affine["t"], jnp.float32))
+    else:
+        aff_s = jnp.ones((cop, 1), jnp.float32)
+        aff_t = jnp.zeros((cop, 1), jnp.float32)
+    y = _conv3x3_chw_call(xp, wall, bias, aff_s, aff_t, w_pix, float(slope),
+                          interpret)
+    return unpack_chw(y, w_pix, co)

@@ -158,6 +158,23 @@ def _conv_act(conv, x, slope, compute_dtype, impl: str = "auto",
     ``compute_dtype`` result is ever materialized in HBM.
     """
     if impl == "auto":
+        # TPU: the CHW-packed fused Pallas kernel — full-net 832^2 latency
+        # 5.9 ms vs 14.8 (matmul lowering) vs 17.2 (native conv), measured
+        # r4 (tools/hw_denoiser_impls.py); per-shape fallback to matmul
+        # inside.  CPU/tests: native conv.
+        impl = "pallas2" if jax.default_backend() == "tpu" else "native"
+    if impl == "pallas2":
+        # CHW-packed fused Pallas kernel (models/conv_kernel.py v2):
+        # W on 128-aligned lanes, C padded to 16 sublanes — the layout
+        # this toolchain's DMA constraints actually allow.  Requires
+        # H % 8 == 0; other shapes fall back to the matmul lowering.
+        from .conv_kernel import conv3x3_act_chw
+        n, h, _, _ = x.shape
+        if n == 1 and h % 8 == 0:
+            y = conv3x3_act_chw(x[0].astype(compute_dtype),
+                                conv["w"], conv["b"], slope, affine=affine,
+                                interpret=jax.default_backend() != "tpu")
+            return y[None]
         impl = "matmul" if jax.default_backend() == "tpu" else "native"
     if impl == "pallas":
         from .conv_kernel import conv3x3_act, supported_height

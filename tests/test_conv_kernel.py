@@ -111,3 +111,70 @@ def test_apply_frame_fast_pallas_impl_matches():
         np.testing.assert_allclose(np.asarray(hid_pal[k]),
                                    np.asarray(hid_ref[k]),
                                    rtol=2e-3, atol=2e-4, err_msg=k)
+
+
+# ---------------------------------------------------------------------------
+# v2 CHW-packed kernel (the shipping TPU path: conv_impl="pallas2")
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("h,w,ci,co", [(16, 200, 10, 32), (8, 128, 3, 3),
+                                       (16, 256, 64, 32), (24, 130, 43, 57)])
+def test_chw_kernel_matches_native(h, w, ci, co):
+    """The W=128 case exercises the lane-rotate wrap: without a spare
+    zero column past W the +-1 dx rotates would wrap real data."""
+    from ai_path_tracer_denoiser_tpu.models.conv_kernel import conv3x3_act_chw
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (h, w, ci), jnp.float32)
+    wgt = jax.random.normal(jax.random.PRNGKey(1), (3, 3, ci, co),
+                            jnp.float32) * 0.1
+    b = jax.random.normal(jax.random.PRNGKey(2), (co,), jnp.float32)
+    y = conv3x3_act_chw(x, wgt, b, 0.1, interpret=True)
+    ref = _ref_conv(x, wgt, b, 0.1)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_chw_kernel_affine_epilogue():
+    from ai_path_tracer_denoiser_tpu.models.conv_kernel import conv3x3_act_chw
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (8, 144, 32), jnp.float32)
+    wgt = jax.random.normal(jax.random.PRNGKey(4), (3, 3, 32, 32),
+                            jnp.float32) * 0.1
+    b = jnp.zeros((32,), jnp.float32)
+    aff = {"s": jax.random.normal(jax.random.PRNGKey(5), (32,), jnp.float32),
+           "t": jax.random.normal(jax.random.PRNGKey(6), (32,), jnp.float32)}
+    y = conv3x3_act_chw(x, wgt, b, 0.1, affine=aff, interpret=True)
+    ref = _ref_conv(x, wgt, b, 0.1) * aff["s"] + aff["t"]
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_apply_frame_fast_pallas2_impl_matches():
+    """conv_impl="pallas2" (the TPU auto default) through the full folded
+    network, interpret mode, f32: agrees with the native path."""
+    from ai_path_tracer_denoiser_tpu.config import ModelOptions
+    from ai_path_tracer_denoiser_tpu.models import (apply_frame_fast,
+                                                    init_autoencoder,
+                                                    init_hidden,
+                                                    prepare_inference)
+
+    opts = ModelOptions()
+    params, bn_state = init_autoencoder(jax.random.PRNGKey(0), opts)
+    folded = prepare_inference(params, bn_state, opts,
+                               compute_dtype=jnp.float32)
+    h = w = 64
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, h, w, 10), jnp.float32)
+    hidden = init_hidden(1, h, w, opts, dtype=jnp.float32)
+    y_ref, hid_ref = apply_frame_fast(folded, x, hidden, opts,
+                                      compute_dtype=jnp.float32,
+                                      conv_impl="native")
+    y_pal, hid_pal = apply_frame_fast(folded, x, hidden, opts,
+                                      compute_dtype=jnp.float32,
+                                      conv_impl="pallas2")
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref),
+                               rtol=2e-3, atol=2e-4)
+    for k in hid_ref:
+        np.testing.assert_allclose(np.asarray(hid_pal[k]),
+                                   np.asarray(hid_ref[k]),
+                                   rtol=2e-3, atol=2e-4, err_msg=k)

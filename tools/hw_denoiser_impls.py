@@ -58,6 +58,7 @@ def main():
         print(f"{name}: {ms:.3f} ms", file=sys.stderr, flush=True)
 
     bench("matmul_832", "matmul", 832, 832)
+    bench("pallas2_832", "pallas2", 832, 832)
     bench("native_832", "native", 832, 832)
     bench("im2row_832", "im2row", 832, 832)
     try:
