@@ -20,8 +20,14 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: repeated pytest runs skip recompiles.
-_CACHE = pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"
-jax.config.update("jax_compilation_cache_dir", str(_CACHE))
+# APTD_TEST_CACHE_DIR overrides (e.g. a throwaway dir when another local
+# process shares .jax_cache — concurrent cache writes have aborted the
+# interpreter in this container).
+import os as _os
+_CACHE = _os.environ.get(
+    "APTD_TEST_CACHE_DIR",
+    str(pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"))
+jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import pytest  # noqa: E402

@@ -49,8 +49,17 @@ def test_train_step_accepts_bf16_inputs():
     x, y = _batch()
     topt = TrainOptions(bf16_compute=True)
     jit_step = jax.jit(lambda s, a, b: train_step(s, a, b, topt))
-    state, m = jit_step(state, x.astype(jnp.bfloat16), y)
-    assert np.isfinite(float(m["total"]))
+    # Serializing THIS executable to the persistent compile cache
+    # segfaults the interpreter on this jax build (reproduced twice, r4:
+    # put_executable_and_time -> hard SIGSEGV/SIGABRT, fresh cache dir) —
+    # run the compile with cache writes off.
+    cache_dir = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    try:
+        state, m = jit_step(state, x.astype(jnp.bfloat16), y)
+        assert np.isfinite(float(m["total"]))
+    finally:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
 
 
 def test_lr_injection():

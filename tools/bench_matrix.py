@@ -7,8 +7,10 @@ mesh scenes under each optimization flag in isolation:
   none / +stream compaction / +material sorting / +first-bounce cache /
   +AABB ray culling / best combination
 
-on cornell_timing_code.txt (dodecicosacron mesh) and
-cornell_timing_code_2.txt (cube mesh), 800x800, depth 8, GTX 1080Ti.
+on cornell_timing_code.txt (great dodecicosacron — 60 star faces; the
+reference checkout ships no Models/ dir, so ours is a 60-face spiked
+icosahedron, assets/star.obj) and cornell_timing_code_2.txt (cube
+mesh), 800x800, depth 8, GTX 1080Ti.
 
 This driver runs the same matrix through the TPU framework's runtime
 flags (config.RenderOptions — every reference #define is a field) on the
@@ -89,10 +91,21 @@ def main():
         opts = RenderOptions(backend="xla", antialias=False, **flags)
         ms = []
         for scene in scenes:
-            _, _, st = render(scene, opts, num_iterations=4)   # warm compile
+            # warm the exact chunk-sized program the timed loop runs
+            _, _, st = render(scene, opts, num_iterations=10)
             np.asarray(st.accum.x)
             t0 = time.perf_counter()
-            _, _, st = render(scene, opts, num_iterations=args.iters)
+            # CHUNKED: one device program per <=10 iterations.  A single
+            # 500-iteration program runs ~12 min on the BVH scene and the
+            # tunneled TPU worker's watchdog kills it ('worker crashed or
+            # restarted', reproduced twice r4).  state chaining keeps the
+            # accumulation identical.
+            done = 0
+            st = None
+            while done < args.iters:
+                n = min(10, args.iters - done)
+                _, _, st = render(scene, opts, num_iterations=n, state=st)
+                done += n
             np.asarray(st.accum.x)                             # fence
             # normalize to the reference's 500-iteration budget: every
             # iteration is statistically identical work, so the scale is
@@ -131,10 +144,14 @@ iteration is statistically identical work).
 ## Where TPU behavior diverges from the GPU data
 
 * **Material sorting** costs the reference 3-5x (thrust sort dominating,
-  metrics.xlsx row 4) but is nearly free here
-  ({rows['+ material sorting'][0] / base[0]:.2f}x scene-1 baseline): the
-  TPU shading path is branch-free full-width vector math, so coherence
-  buys nothing and the argsort permutation is the only cost.
+  metrics.xlsx row 4) and costs even more here
+  ({rows['+ material sorting'][0] / base[0]:.1f}x scene-1 baseline): TPU
+  shading is branch-free full-width vector math, so material coherence
+  buys *nothing*, while the permutation itself is pure loss — one stable
+  argsort plus per-ray gathers of every carry plane, and gathers are the
+  TPU's weakest memory op.  Directionally the same conclusion as the
+  reference (sorting loses; it is off by default in both), amplified by
+  the hardware.
 * **Stream compaction** hurt the reference at 800x800 (row 3) and is a
   mask + early-exit here ({rows['+ stream compaction'][0] / base[0]:.2f}x
   scene-1 baseline): XLA's static shapes make *data movement* compaction

@@ -124,6 +124,26 @@ def blob(levels=4, seed=0):
     return v, n, f
 
 
+def star(spike=0.9):
+    """60-face spiked icosahedron — the timing-scene star polyhedron.
+
+    The reference's timing scene 1 loads a great dodecicosacron (60
+    intersecting faces; its Models/ dir is absent from the checkout), so
+    the reproduction uses the same face-count class: each icosahedron
+    face is replaced by 3 triangles to an out-pushed apex.
+    """
+    v, f = icosahedron()
+    verts = list(map(np.asarray, v))
+    faces = []
+    for a, b, c in f:
+        centroid = (verts[a] + verts[b] + verts[c]) / 3.0
+        apex = centroid * (1.0 + spike)
+        k = len(verts)
+        verts.append(apex)
+        faces += [[a, b, k], [b, c, k], [c, a, k]]
+    return np.asarray(verts), np.asarray(faces, np.int64)
+
+
 def write_obj(path, v, f, n=None, flat=False):
     lines = [f"# generated by tools/make_assets.py — {os.path.basename(path)}"]
     for p in v:
@@ -169,6 +189,9 @@ def main():
 
     v, n, f = blob(levels=6, seed=7)
     write_obj(os.path.join(OUT_DIR, "statue.obj"), v, f, n=n)
+
+    v, f = star()
+    write_obj(os.path.join(OUT_DIR, "star.obj"), v, f, flat=True)
 
 
 if __name__ == "__main__":
