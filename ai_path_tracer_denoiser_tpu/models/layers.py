@@ -70,6 +70,55 @@ def _conv_sum_taps(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     return acc
 
 
+@jax.custom_vjp
+def _conv3x3_pallas_nb(x, w):
+    """Batched pure 3x3 SAME conv via the CHW-packed Pallas kernel.
+
+    Forward AND input-gradient ride models/conv_kernel.py (slope=1.0
+    turns its LReLU epilogue into identity; zero bias); the weight
+    gradient stays on XLA shifted dot_generals (a big-K contraction the
+    MXU already handles well).  f32-accumulated, returns x.dtype.
+    """
+    return _conv3x3_pallas_fwd(x, w)[0]
+
+
+def _conv3x3_pallas_fwd(x, w):
+    from .conv_kernel import conv3x3_act_chw
+    zb = jnp.zeros((w.shape[-1],), jnp.float32)
+    y = jnp.stack([conv3x3_act_chw(x[n], w, zb, 1.0)
+                   for n in range(x.shape[0])])
+    return y, (x, w)
+
+
+def _conv3x3_pallas_bwd(res, g):
+    from .conv_kernel import conv3x3_act_chw
+    x, w = res
+    g = g.astype(x.dtype)
+    # dx: correlate g with the spatially-flipped, io-transposed weights —
+    # itself a 3x3 SAME conv, so it rides the same fast kernel.
+    wt = jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))
+    zb = jnp.zeros((w.shape[2],), jnp.float32)
+    dx = jnp.stack([conv3x3_act_chw(g[n], wt.astype(x.dtype), zb, 1.0)
+                    for n in range(g.shape[0])])
+    # dw[dy,dx,ci,co] = sum_{n,h,w} xpad[n,h+dy,w+dx,ci] * g[n,h,w,co]
+    n, h, ww, ci = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    taps = []
+    for dy in range(3):
+        row = []
+        for dxi in range(3):
+            xs = jax.lax.slice(xp, (0, dy, dxi, 0), (n, dy + h, dxi + ww, ci))
+            row.append(jax.lax.dot_general(
+                xs, g, (((0, 1, 2), (0, 1, 2)), ((), ())),
+                preferred_element_type=jnp.float32))
+        taps.append(jnp.stack(row))
+    dw = jnp.stack(taps).astype(w.dtype)
+    return dx.astype(x.dtype), dw
+
+
+_conv3x3_pallas_nb.defvjp(_conv3x3_pallas_fwd, _conv3x3_pallas_bwd)
+
+
 def conv2d(params, x: jnp.ndarray, bf16: bool = False,
            spatial_axis: Optional[str] = None,
            impl: str = "auto") -> jnp.ndarray:
@@ -99,8 +148,16 @@ def conv2d(params, x: jnp.ndarray, bf16: bool = False,
         import os
         impl = os.environ.get(
             "APTD_CONV_IMPL",
-            "matmul" if jax.default_backend() == "tpu" else "native")
-    if spatial_axis is None and impl == "matmul":
+            "pallas2" if jax.default_backend() == "tpu" else "native")
+    if (spatial_axis is None and impl == "pallas2"
+            and w.shape[0] == 3 and x.shape[1] % 8 == 0):
+        # CHW-packed Pallas kernel for fwd + dgrad (custom VJP above) —
+        # the TPU default (batch-4 train step 112.5 -> 86.0 ms, r4).
+        # Gradient parity vs the native path is f32-rounding-level
+        # (tests/test_model.py grad check); the r4 campaign itself still
+        # ran the matmul path (APTD_CONV_IMPL=matmul to reproduce).
+        return _conv3x3_pallas_nb(x, w).astype(jnp.float32) + params["b"]
+    if spatial_axis is None and impl in ("matmul", "pallas2"):
         # _conv_sum_taps already yields the f32 (f64 under x64) accumulator
         # the bias add below expects in both bf16 and full-precision modes
         return _conv_sum_taps(x, w) + params["b"]

@@ -178,3 +178,27 @@ def test_apply_frame_fast_pallas2_impl_matches():
         np.testing.assert_allclose(np.asarray(hid_pal[k]),
                                    np.asarray(hid_ref[k]),
                                    rtol=2e-3, atol=2e-4, err_msg=k)
+
+
+def test_conv2d_pallas2_grad_matches_native():
+    """Training-path conv (layers.conv2d impl='pallas2', custom VJP:
+    fwd+dgrad on the CHW kernel, wgrad on XLA) — value and grads agree
+    with the native conv to f32 rounding."""
+    from ai_path_tracer_denoiser_tpu.models.layers import conv2d
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 16, 24, 5), jnp.float32)
+    p = {"w": jax.random.normal(jax.random.PRNGKey(1), (3, 3, 5, 7),
+                                jnp.float32) * 0.2,
+         "b": jax.random.normal(jax.random.PRNGKey(2), (7,), jnp.float32)}
+
+    def loss(p, impl):
+        return jnp.sum(jnp.sin(conv2d(p, x, impl=impl)))
+
+    va, ga = jax.value_and_grad(loss)(p, "native")
+    vb, gb = jax.value_and_grad(loss)(p, "pallas2")
+    assert abs(float(va - vb)) < 1e-4
+    np.testing.assert_allclose(np.asarray(ga["w"]), np.asarray(gb["w"]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ga["b"]), np.asarray(gb["b"]),
+                               rtol=1e-4, atol=1e-4)
