@@ -31,10 +31,17 @@ import jax.numpy as jnp
 import numpy as np
 
 # Persistent compile cache: the megakernel's first compile is ~2 min.
+# Configured inside the entry points, NOT at import: importing this
+# module (tests/test_bench_isolation.py) must not mutate global jax
+# config — it silently re-enabled compile-cache writes under pytest,
+# where serializing some executables segfaults (tests/conftest.py note).
 _CACHE = pathlib.Path(__file__).parent / ".jax_cache"
-_CACHE.mkdir(exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", str(_CACHE))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def _setup_cache():
+    _CACHE.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(_CACHE))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 REFERENCE_SECONDS_PER_FRAME = 0.072  # README.md:55-59, imgs/results/infer.png
 REFERENCE_DENOISE_SECONDS = 0.1538   # README.md:201 (optimized TorchScript)
@@ -278,6 +285,7 @@ SECTION_TIMEOUT_S = {"render": 900, "denoiser": 1200, "train": 900,
 def run_section(name):
     """Child-process entry: run one subsystem, print its raw result as the
     final stdout line."""
+    _setup_cache()
     res = SECTIONS[name]()
     print("APTD_BENCH " + json.dumps(res))
 
@@ -301,6 +309,7 @@ def _spawn_section(name):
 
 
 def main():
+    _setup_cache()
     nan = [float("nan")]
     # Probe device identity BEFORE any section can wedge the backend.
     dev = jax.devices()[0]

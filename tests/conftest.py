@@ -28,7 +28,16 @@ _CACHE = _os.environ.get(
     "APTD_TEST_CACHE_DIR",
     str(pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"))
 jax.config.update("jax_compilation_cache_dir", _CACHE)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# READ-mostly: serializing some train-step executables to the cache
+# segfaults the interpreter under full-suite memory pressure (r4,
+# reproduced 3x: put_executable_and_time -> SIGSEGV in zstandard/pickle;
+# the same test passes standalone).  A huge write threshold keeps cache
+# READS (warm compiles stay fast) while never exercising the crashing
+# write path from pytest.  Set APTD_TEST_CACHE_WRITE=1 to warm the cache
+# in a dedicated run.
+import os as _os2
+_wr = 0.5 if _os2.environ.get("APTD_TEST_CACHE_WRITE") else 1e9
+jax.config.update("jax_persistent_cache_min_compile_time_secs", _wr)
 
 import pytest  # noqa: E402
 

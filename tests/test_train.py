@@ -50,16 +50,19 @@ def test_train_step_accepts_bf16_inputs():
     topt = TrainOptions(bf16_compute=True)
     jit_step = jax.jit(lambda s, a, b: train_step(s, a, b, topt))
     # Serializing THIS executable to the persistent compile cache
-    # segfaults the interpreter on this jax build (reproduced twice, r4:
-    # put_executable_and_time -> hard SIGSEGV/SIGABRT, fresh cache dir) —
-    # run the compile with cache writes off.
-    cache_dir = jax.config.jax_compilation_cache_dir
-    jax.config.update("jax_compilation_cache_dir", None)
+    # segfaults the interpreter on this jax build (reproduced 3x, r4:
+    # put_executable_and_time -> executable.serialize() SIGSEGV).  Gate
+    # via the min-compile-time threshold: it is re-read at every write
+    # (setting cache_dir None is NOT enough — once jax initializes the
+    # cache object, later dir changes are ignored).
+    thresh = jax.config.jax_persistent_cache_min_compile_time_secs
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
     try:
         state, m = jit_step(state, x.astype(jnp.bfloat16), y)
         assert np.isfinite(float(m["total"]))
     finally:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          thresh)
 
 
 def test_lr_injection():
