@@ -340,6 +340,42 @@ def ray_aabb_intersect_v(o: Vec3, d: Vec3, lb, ub) -> jnp.ndarray:
 # Scene-level intersection (computeIntersections, pathtrace.cu:200-306)
 # ---------------------------------------------------------------------------
 
+def octant_cell_key(o: Vec3, d: Vec3, dead: jnp.ndarray,
+                    sort_cells: int = 8) -> jnp.ndarray:
+    """Coherence sort key: direction octant + origin-cell Morton index.
+
+    ``sort_cells`` > 1: cell is the MAJOR key (cells quantized over the
+    batch's own origin bounds); < -1: octant-major.  Dead lanes get 2^30 so
+    a stable sort packs live rays densely at the front.  Shared by
+    intersect_scene_v's internal sort and the wavefront's carry-level sort
+    (render/wavefront.py) so both produce identical ray groupings.
+    """
+    key = ((d.x < 0).astype(jnp.int32) * 4
+           + (d.y < 0).astype(jnp.int32) * 2
+           + (d.z < 0).astype(jnp.int32))
+    if sort_cells > 1 or sort_cells < -1:
+        octant_major = sort_cells < 0
+        sort_cells = abs(sort_cells)
+        n_bits = max(1, int(np.ceil(np.log2(sort_cells))))
+        cell = jnp.zeros_like(key)
+        for shift, c in ((2, o.x), (1, o.y), (0, o.z)):
+            lo_ = jnp.min(c)
+            ext = jnp.maximum(jnp.max(c) - lo_, 1e-12)
+            q = jnp.clip(((c - lo_) / ext
+                          * sort_cells).astype(jnp.int32),
+                         0, sort_cells - 1)
+            # spread bits to stride 3 (Morton interleave)
+            m = jnp.zeros_like(q)
+            for b in range(n_bits):
+                m = m | (((q >> b) & 1) << (3 * b))
+            cell = cell | (m << shift)
+        if octant_major:
+            key = (key << (3 * n_bits)) | cell
+        else:
+            key = (cell << 3) | key
+    return jnp.where(dead, jnp.int32(1 << 30), key)
+
+
 def intersect_scene_v(geoms: Geoms, mesh: MeshData, o: Vec3, d: Vec3,
                       ray_culling: bool = True, face_chunk: int = 16,
                       types: Optional[Tuple[int, ...]] = None,
@@ -405,42 +441,12 @@ def intersect_scene_v(geoms: Geoms, mesh: MeshData, o: Vec3, d: Vec3,
             if active is not None:
                 t_cull = jnp.where(active, t_cull, -jnp.inf)
             if octant_sort:
-                # stable octant key keeps pixel-order (origin) locality
-                # within each direction bucket
-                key = ((d.x < 0).astype(jnp.int32) * 4
-                       + (d.y < 0).astype(jnp.int32) * 2
-                       + (d.z < 0).astype(jnp.int32))
-                if sort_cells > 1 or sort_cells < -1:
-                    # ORIGIN-cell major key: quantize origins over their
-                    # own (per-call) bounding box into sort_cells^3 Morton
-                    # cells, so each kernel subtile holds rays that share
-                    # position AND direction — the node set a subtile
-                    # descends is then bounded by one cone, not the whole
-                    # scene's.  Pure permutation; bitwise-identical.
-                    octant_major = sort_cells < 0
-                    sort_cells = abs(sort_cells)
-                    n_bits = max(1, int(np.ceil(np.log2(sort_cells))))
-                    cell = jnp.zeros_like(key)
-                    for shift, c in ((2, o.x), (1, o.y), (0, o.z)):
-                        lo_ = jnp.min(c)
-                        ext = jnp.maximum(jnp.max(c) - lo_, 1e-12)
-                        q = jnp.clip(((c - lo_) / ext
-                                      * sort_cells).astype(jnp.int32),
-                                     0, sort_cells - 1)
-                        # spread bits to stride 3 (Morton interleave)
-                        m = jnp.zeros_like(q)
-                        for b in range(n_bits):
-                            m = m | (((q >> b) & 1) << (3 * b))
-                        cell = cell | (m << shift)
-                    if octant_major:
-                        # octant-major: each tile holds ONE direction
-                        # octant, cells ordered within it (tight cones
-                        # for wide 1024-lane tiles)
-                        key = (key << (3 * n_bits)) | cell
-                    else:
-                        key = (cell << 3) | key
-                # dead lanes to the back so live subtiles stay dense
-                key = jnp.where(t_cull == -jnp.inf, jnp.int32(1 << 30), key)
+                # ORIGIN-cell + octant key: each kernel subtile holds rays
+                # that share position AND direction, so the node set a
+                # subtile descends is bounded by one cone, not the whole
+                # scene's.  Pure permutation; bitwise-identical.  Dead
+                # lanes to the back so live subtiles stay dense.
+                key = octant_cell_key(o, d, t_cull == -jnp.inf, sort_cells)
                 perm = jnp.argsort(key, stable=True)
                 os_ = Vec3(o.x[perm], o.y[perm], o.z[perm])
                 ds_ = Vec3(d.x[perm], d.y[perm], d.z[perm])

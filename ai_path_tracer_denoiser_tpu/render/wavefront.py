@@ -44,7 +44,8 @@ import jax.numpy as jnp
 
 from ..config import RenderOptions
 from ..ops.bsdf import scatter_ray_v
-from ..ops.intersect import intersect_scene_v
+from ..ops.intersect import (intersect_scene_v, octant_cell_key,
+                             ray_aabb_intersect_v)
 from ..ops.rng import draw_uniforms
 from ..ops.vec3 import Vec3, where as vwhere
 from ..scene.structs import Camera, Geoms, Scene
@@ -182,15 +183,26 @@ def _gather_material(scene: Scene, mat_id: jnp.ndarray):
 
 
 def _shade(scene: Scene, options: RenderOptions, iteration, isect,
-           ray_d: Vec3, color: Vec3, remaining, pixel_offset=0):
+           ray_d: Vec3, color: Vec3, remaining, pixel_offset=0,
+           pixel_index=None):
     """Branch-free shadeMaterial (pathtrace.cu:333-390), SoA.
 
     Returns (new_ray_o, new_ray_d, new_color, new_remaining).  ``pixel_offset``
     globalizes the RNG path index under tile sharding so a sharded render
     draws the identical noise stream as a single-device one.
+
+    ``pixel_index``: per-lane pixel ids when a carry sort has permuted the
+    lanes.  RNG is keyed on the PIXEL, not the lane position, so every
+    permutation mode (octant carry sort, material sort) draws the exact
+    noise stream of the unsorted render — permutation-invariance the
+    reference does not have (its engine reseeds on the post-sort thread
+    index, pathtrace.cu:52-56, so sorting changes its images).
     """
     n = ray_d.x.shape[0]
-    idx = jnp.arange(n, dtype=jnp.uint32) + jnp.uint32(pixel_offset)
+    if pixel_index is None:
+        idx = jnp.arange(n, dtype=jnp.uint32) + jnp.uint32(pixel_offset)
+    else:
+        idx = pixel_index.astype(jnp.uint32) + jnp.uint32(pixel_offset)
     u = draw_uniforms(iteration, idx, remaining, 2, options.rng)
 
     alive = remaining != 0
@@ -321,22 +333,46 @@ def trace_iteration(scene: Scene, options: RenderOptions,
                                     (ray_o, ray_d, color, remaining, pixel_index))
 
     # ---- remaining bounces ----
-    def bounce(carry, _=None):
+    # Carry-level coherence sort: ONE multi-operand lax.sort moves the
+    # whole path state (11 planes) for the cost of the bare argsort
+    # (~2.3 ms at 640k — measured r5), where the old inside-intersect sort
+    # paid argsort + 14 separate permute-gathers + an inverse argsort
+    # (~55 ms/bounce).  Rays then stay in sorted order through shading;
+    # pixel identity rides in ``pixel_index`` and the final gather
+    # scatter-adds by it once per iteration.
+    carry_sort = (options.mesh_octant_sort and use_bvh
+                  and scene.mesh.num_faces > 0 and scene.mesh.bvh is not None)
+
+    def _octant_carry_sort(carry):
         ray_o, ray_d, color, remaining, pixel_index = carry
+        dead = remaining == 0
+        if options.ray_culling:
+            dead = dead | ~ray_aabb_intersect_v(
+                ray_o, ray_d, scene.mesh.aabb_lb, scene.mesh.aabb_ub)
+        key = octant_cell_key(ray_o, ray_d, dead, options.mesh_sort_cells)
+        ops = jax.lax.sort(
+            (key, ray_o.x, ray_o.y, ray_o.z, ray_d.x, ray_d.y, ray_d.z,
+             color.x, color.y, color.z, remaining, pixel_index),
+            num_keys=1)
+        return (Vec3(ops[1], ops[2], ops[3]), Vec3(ops[4], ops[5], ops[6]),
+                Vec3(ops[7], ops[8], ops[9]), ops[10], ops[11])
+
+    def bounce(carry, _=None):
         # Octant coherence sorting applies to SECONDARY rays only —
-        # primaries are already pixel-coherent and would pay the argsorts
+        # primaries are already pixel-coherent and would pay the sort
         # for nothing.
+        if carry_sort:
+            carry = _octant_carry_sort(carry)
+        ray_o, ray_d, color, remaining, pixel_index = carry
         isect = intersect_scene_v(geoms, scene.mesh, ray_o, ray_d,
                                   ray_culling=options.ray_culling,
                                   use_bvh=use_bvh, active=remaining != 0,
-                                  octant_sort=options.mesh_octant_sort
-                                  and use_bvh,
-                                  sort_cells=options.mesh_sort_cells,
+                                  octant_sort=False,
                                   kernel_lanes=options.mesh_kernel_lanes,
                                   kernel_impl=options.mesh_kernel_impl)
         ray_o, ray_d, color, remaining = _shade(
             scene, options, rng_iter, isect, ray_d, color, remaining,
-            pixel_offset)
+            pixel_offset, pixel_index=pixel_index)
         carry = _maybe_sort_by_material(
             options, isect["material_id"], remaining > 0,
             (ray_o, ray_d, color, remaining, pixel_index))
@@ -360,10 +396,12 @@ def trace_iteration(scene: Scene, options: RenderOptions,
             _, carry = jax.lax.while_loop(cond, body, (jnp.int32(0), carry))
     _, _, color, _, pixel_index = carry
 
-    # finalGather (pathtrace.cu:393-402).  Without material sorting lane i is
-    # pixel i — a plain add.  With sorting, scatter-add by the permuted index.
+    # finalGather (pathtrace.cu:393-402).  Without any carry sort lane i is
+    # pixel i — a plain add.  With sorting, scatter-add by the permuted index
+    # (each pixel receives exactly one path per iteration, so the scatter is
+    # unique-index and order-independent — bitwise equal to the plain add).
     color_acc = color.astype(state.accum.x.dtype)   # accum_dtype knob
-    if options.sort_material:
+    if options.sort_material or (carry_sort and depth_max > 1):
         accum = Vec3(state.accum.x.at[pixel_index].add(color_acc.x),
                      state.accum.y.at[pixel_index].add(color_acc.y),
                      state.accum.z.at[pixel_index].add(color_acc.z))
