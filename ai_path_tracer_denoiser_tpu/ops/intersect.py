@@ -413,7 +413,13 @@ def intersect_scene_v(geoms: Geoms, mesh: MeshData, o: Vec3, d: Vec3,
         if use_bvh is None:
             use_bvh = mesh.bvh is not None
         if use_bvh and mesh.bvh is not None:
-            if kernel_impl == "v3":
+            if kernel_impl == "binned":
+                from ..render.mesh_binned import mesh_intersect_binned
+                mesh_intersect_bvh = mesh_intersect_binned
+                # the binned pipeline packs rays itself (bin-major pair
+                # sort); an outer coherence permutation buys nothing
+                octant_sort = False
+            elif kernel_impl == "v3":
                 from ..render.mesh_kernel_v3 import mesh_intersect_bvh_v3
 
                 def mesh_intersect_bvh(bvh, o_, d_, tc_, interpret,

@@ -340,8 +340,11 @@ def trace_iteration(scene: Scene, options: RenderOptions,
     # (~55 ms/bounce).  Rays then stay in sorted order through shading;
     # pixel identity rides in ``pixel_index`` and the final gather
     # scatter-adds by it once per iteration.
+    # (the binned kernel packs rays itself — bin-major pair sort — so the
+    # outer coherence permutation would be pure overhead there)
     carry_sort = (options.mesh_octant_sort and use_bvh
-                  and scene.mesh.num_faces > 0 and scene.mesh.bvh is not None)
+                  and scene.mesh.num_faces > 0 and scene.mesh.bvh is not None
+                  and options.mesh_kernel_impl != "binned")
 
     def _octant_carry_sort(carry):
         ray_o, ray_d, color, remaining, pixel_index = carry

@@ -18,7 +18,8 @@ REPO = pathlib.Path(__file__).resolve().parent.parent
 
 @pytest.mark.skipif(os.environ.get("APTD_TPU_TESTS") != "1",
                     reason="real-TPU test; set APTD_TPU_TESTS=1")
-@pytest.mark.parametrize("stage", ["blob", "statue"])
+@pytest.mark.parametrize("stage", ["blob", "statue", "blob_binned",
+                                   "statue_binned"])
 def test_kernel_bitwise_on_hardware(stage):
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)        # let the axon TPU register

@@ -69,7 +69,10 @@ def _bitwise_stage(scene_path, n_rays=4096, min_packed_rows=0, impl="v2"):
     import jax
 
     from ai_path_tracer_denoiser_tpu.ops.intersect import mesh_intersect_v
-    if impl == "v3":
+    if impl == "binned":
+        from ai_path_tracer_denoiser_tpu.render.mesh_binned import (
+            mesh_intersect_binned as mesh_intersect_bvh)
+    elif impl == "v3":
         from ai_path_tracer_denoiser_tpu.render.mesh_kernel_v3 import (
             mesh_intersect_bvh_v3 as mesh_intersect_bvh)
     elif impl == "v2p":
@@ -137,7 +140,10 @@ def _soup_stage(n_faces, n_rays=2048, impl="v2"):
 
     from ai_path_tracer_denoiser_tpu.ops.bvh import build_mesh_bvh
     from ai_path_tracer_denoiser_tpu.ops.intersect import mesh_intersect_v
-    if impl == "v3":
+    if impl == "binned":
+        from ai_path_tracer_denoiser_tpu.render.mesh_binned import (
+            mesh_intersect_binned as mesh_intersect_bvh)
+    elif impl == "v3":
         from ai_path_tracer_denoiser_tpu.render.mesh_kernel_v3 import (
             mesh_intersect_bvh_v3 as mesh_intersect_bvh)
     else:
@@ -227,6 +233,11 @@ def main():
         res = _bitwise_stage("scenes/cornell_mesh_blob.txt", impl="v2p")
     elif stage == "statue_v2p":
         res = _bitwise_stage("scenes/cornell_mesh_statue.txt", impl="v2p")
+    elif stage == "blob_binned":
+        res = _bitwise_stage("scenes/cornell_mesh_blob.txt", impl="binned")
+    elif stage == "statue_binned":
+        res = _bitwise_stage("scenes/cornell_mesh_statue.txt",
+                             impl="binned")
     elif stage == "frames":
         res = _frames_stage()
     elif stage.isdigit():
