@@ -269,14 +269,20 @@ def _build_kernel_chw(th: int, cp: int, cop: int, w_pix: int, slope: float,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("w_pix", "slope", "interpret"))
+                   static_argnames=("w_pix", "slope", "interpret",
+                                    "out_dtype_name"))
 def _conv3x3_chw_call(xp, wall, bias, aff_s, aff_t, w_pix, slope,
-                      interpret):
+                      interpret, out_dtype_name=None):
     hp, cp, wp = xp.shape
     h = hp - 2
     cop = wall.shape[0] // 3
     assert h % TH2 == 0, (h, TH2)
-    out_dtype = xp.dtype
+    # out_dtype_name: keep the f32 accumulator at kernel output (the
+    # training path adds an f32 bias AFTER the kernel; rounding the
+    # accumulator to bf16 first diverged from the matmul path — r4
+    # advisor finding)
+    out_dtype = xp.dtype if out_dtype_name is None \
+        else jnp.dtype(out_dtype_name)
     kernel = _build_kernel_chw(TH2, cp, cop, w_pix, float(slope), out_dtype)
     return pl.pallas_call(
         kernel,
@@ -293,7 +299,7 @@ def _conv3x3_chw_call(xp, wall, bias, aff_s, aff_t, w_pix, slope,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((h, cop, wp), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((TH2 + 2, cp, wp), out_dtype),
+            pltpu.VMEM((TH2 + 2, cp, wp), xp.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
@@ -303,7 +309,8 @@ def _conv3x3_chw_call(xp, wall, bias, aff_s, aff_t, w_pix, slope,
 def conv3x3_act_chw(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
                     slope: float,
                     affine: Optional[dict] = None,
-                    interpret: Optional[bool] = None) -> jnp.ndarray:
+                    interpret: Optional[bool] = None,
+                    out_dtype: Optional[str] = None) -> jnp.ndarray:
     """Fused SAME conv3x3 + bias + LReLU [+ affine] via the CHW-packed
     kernel.  x: (H, W, C) -> (H, W, Co), H % 8 == 0."""
     if interpret is None:
@@ -325,5 +332,5 @@ def conv3x3_act_chw(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
         aff_s = jnp.ones((cop, 1), jnp.float32)
         aff_t = jnp.zeros((cop, 1), jnp.float32)
     y = _conv3x3_chw_call(xp, wall, bias, aff_s, aff_t, w_pix, float(slope),
-                          interpret)
+                          interpret, out_dtype)
     return unpack_chw(y, w_pix, co)

@@ -85,7 +85,9 @@ def _conv3x3_pallas_nb(x, w):
 def _conv3x3_pallas_fwd(x, w):
     from .conv_kernel import conv3x3_act_chw
     zb = jnp.zeros((w.shape[-1],), jnp.float32)
-    y = jnp.stack([conv3x3_act_chw(x[n], w, zb, 1.0)
+    # out_dtype f32: hand the f32 accumulator to the bias add below even
+    # under bf16 inputs — matches _conv_sum_taps numerics (r4 advisor)
+    y = jnp.stack([conv3x3_act_chw(x[n], w, zb, 1.0, out_dtype="float32")
                    for n in range(x.shape[0])])
     return y, (x, w)
 
@@ -150,13 +152,16 @@ def conv2d(params, x: jnp.ndarray, bf16: bool = False,
             "APTD_CONV_IMPL",
             "pallas2" if jax.default_backend() == "tpu" else "native")
     if (spatial_axis is None and impl == "pallas2"
-            and w.shape[0] == 3 and x.shape[1] % 8 == 0):
+            and w.shape[0] == 3 and w.shape[1] == 3
+            and x.shape[1] % 8 == 0):
         # CHW-packed Pallas kernel for fwd + dgrad (custom VJP above) —
         # the TPU default (batch-4 train step 112.5 -> 86.0 ms, r4).
         # Gradient parity vs the native path is f32-rounding-level
-        # (tests/test_model.py grad check); the r4 campaign itself still
-        # ran the matmul path (APTD_CONV_IMPL=matmul to reproduce).
-        return _conv3x3_pallas_nb(x, w).astype(jnp.float32) + params["b"]
+        # (tests/test_model.py grad check); the kernel hands back the f32
+        # accumulator, so the bias add matches _conv_sum_taps bit-for-bit
+        # in both bf16 and full-precision modes.  The r4/r5 campaigns ran
+        # the matmul path (APTD_CONV_IMPL=matmul to reproduce).
+        return _conv3x3_pallas_nb(x, w) + params["b"]
     if spatial_axis is None and impl in ("matmul", "pallas2"):
         # _conv_sum_taps already yields the f32 (f64 under x64) accumulator
         # the bias add below expects in both bf16 and full-precision modes

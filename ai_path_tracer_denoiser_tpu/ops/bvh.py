@@ -93,6 +93,11 @@ class MeshBVH:
     super_bounds: jnp.ndarray    # (Sp, 8) f32
     hyper_bounds: jnp.ndarray    # (Hp, 8) f32
     num_faces: int = 0           # static: true face count
+    cluster: int = CLUSTER       # static: faces/cluster THIS bvh was
+                                 # built with (r4 advisor: a serialized
+                                 # bvh reused under a different
+                                 # APTD_BVH_CLUSTER would otherwise
+                                 # corrupt traversal silently)
 
     @property
     def padded_faces(self) -> int:
@@ -114,7 +119,7 @@ class MeshBVH:
     # Rows past these are DEAD padding (never live in the slab test).
     @property
     def n_clusters_real(self) -> int:
-        return max(1, -(-self.num_faces // CLUSTER))
+        return max(1, -(-self.num_faces // self.cluster))
 
     @property
     def n_supers_real(self) -> int:
@@ -128,7 +133,7 @@ class MeshBVH:
 jax.tree_util.register_dataclass(
     MeshBVH,
     ["faces_packed", "cluster_bounds", "super_bounds", "hyper_bounds"],
-    ["num_faces"],
+    ["num_faces", "cluster"],
 )
 
 
@@ -259,6 +264,7 @@ def build_mesh_bvh(vertices: np.ndarray, normals: np.ndarray,
         super_bounds=jnp.asarray(super_rows_unpadded),
         hyper_bounds=jnp.asarray(hyper_rows),
         num_faces=int(f),
+        cluster=CLUSTER,
     )
     assert bvh.n_supers * FANOUT >= bvh.n_clusters
     assert bvh.n_hypers * FANOUT >= bvh.n_supers, (bvh.n_hypers, sp)

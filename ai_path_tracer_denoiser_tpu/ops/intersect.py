@@ -355,7 +355,10 @@ def octant_cell_key(o: Vec3, d: Vec3, dead: jnp.ndarray,
            + (d.z < 0).astype(jnp.int32))
     if sort_cells > 1 or sort_cells < -1:
         octant_major = sort_cells < 0
-        sort_cells = abs(sort_cells)
+        # clamp: past 64 cells/axis the shifted key would overflow int32
+        # beyond the 1<<30 dead-lane sentinel (r4 advisor; perf-only,
+        # results are a pure permutation either way)
+        sort_cells = min(abs(sort_cells), 64)
         n_bits = max(1, int(np.ceil(np.log2(sort_cells))))
         cell = jnp.zeros_like(key)
         for shift, c in ((2, o.x), (1, o.y), (0, o.z)):

@@ -546,6 +546,10 @@ def mesh_intersect_binned(bvh: MeshBVH, o: Vec3, d: Vec3,
     tools/exp_visit_stats.py output in the r5 commit log).
     """
     del lanes  # interface parity with the other kernels
+    if getattr(bvh, "cluster", CLUSTER) != CLUSTER:
+        raise ValueError(
+            f"bvh built with cluster={bvh.cluster} but BIN derives from "
+            f"CLUSTER={CLUSTER} (APTD_BVH_CLUSTER mismatch)")
     n = o.x.shape[0]
     if t_cull is None:
         t_cull = jnp.full((n,), _INF)

@@ -249,6 +249,10 @@ def mesh_intersect_bvh(bvh: MeshBVH, o: Vec3, d: Vec3,
     coherent primaries (1024 = the proven default).  Pure work
     partitioning: results are bitwise identical for any value.
     """
+    if getattr(bvh, "cluster", CLUSTER) != CLUSTER:
+        raise ValueError(
+            f"bvh built with cluster={bvh.cluster} but kernel compiled "
+            f"for CLUSTER={CLUSTER} (APTD_BVH_CLUSTER mismatch)")
     if bvh.num_faces > MAX_KERNEL_FACES:
         raise ValueError(
             f"mesh has {bvh.num_faces} faces > MAX_KERNEL_FACES="

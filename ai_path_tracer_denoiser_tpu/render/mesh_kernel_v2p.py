@@ -263,6 +263,10 @@ def mesh_intersect_bvh_v2p(bvh: MeshBVH, o: Vec3, d: Vec3,
     ``subtile``: gate each cluster's MT block per 128-lane column on that
     column's own liveness (bitwise-identical; cuts MT flops on
     incoherent, sorted ray batches)."""
+    if getattr(bvh, "cluster", CLUSTER) != CLUSTER:
+        raise ValueError(
+            f"bvh built with cluster={bvh.cluster} but kernel compiled "
+            f"for CLUSTER={CLUSTER} (APTD_BVH_CLUSTER mismatch)")
     if bvh.num_faces > MAX_KERNEL_FACES:
         raise ValueError(f"mesh has {bvh.num_faces} faces > "
                          f"{MAX_KERNEL_FACES}")
