@@ -23,10 +23,24 @@ REF_DENOISE_MS = 153.8
 REF_TRAIN_MS = 797.7
 
 
+def load_bench(path):
+    """Load a bench record: either bench.py's raw JSON line(s) or the
+    driver's pretty-printed BENCH_r*.json wrapper ({..., "parsed": {...}}).
+    Shared with tests/test_parity_fresh.py so both parse identically."""
+    with open(path) as f:
+        text = f.read().strip()
+    try:
+        rec = json.loads(text)
+    except json.JSONDecodeError:
+        rec = json.loads(text.splitlines()[-1])
+    if "parsed" in rec:
+        rec = rec["parsed"]
+    return rec
+
+
 def main():
     path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/bench.json"
-    with open(path) as f:
-        rec = json.loads(f.read().strip().splitlines()[-1])
+    rec = load_bench(path)
     x = rec["extra"]
     mrays = rec["value"]
 
