@@ -127,7 +127,19 @@ def stage_train(args):
     logger = MetricsLogger(os.path.join(
         args.out, args.models_subdir.replace("models", "logs")
         if args.models_subdir != "models" else "logs"))
-    if args.device_data:
+    if args.stream_gb:
+        # Host-streamed sharded corpus: sequence-aligned HBM shards swap
+        # through donated buffers with a prefetching host reader — lifts
+        # the device-resident path's corpus-size cap (train/stream_data.py,
+        # VERDICT r4 #3).
+        from ai_path_tracer_denoiser_tpu.train.stream_data import (
+            fit_streamed)
+        state = fit_streamed(
+            state, dataset, topt, epochs=args.epochs,
+            shard_gb=args.stream_gb, logger=logger,
+            checkpoint_fn=lambda s, e: save_checkpoint(model_dir, s, e),
+            model_options=mopt, start_epoch=start_epoch)
+    elif args.device_data:
         # Upload the corpus to HBM once and crop on device: no per-step
         # host->device traffic (the tunnel client leaks host RAM per
         # transfer — ~1.4 GB/min at batch 8 — and OOMs the host hourly
@@ -351,6 +363,9 @@ def main():
                          "variant train off the same datagen)")
     ap.add_argument("--artifact", default="denoiser_multiscene.npz")
     ap.add_argument("--render-backend", default="xla")
+    ap.add_argument("--stream-gb", type=float, default=0.0,
+                    help="host-streamed sharded corpus with this shard "
+                         "budget in GiB (0 = off); overrides --device-data")
     ap.add_argument("--device-data", action="store_true",
                     help="upload the whole corpus to HBM once and crop "
                          "on device (no per-step host->device traffic)")
