@@ -111,7 +111,8 @@ def stage_train(args):
             resume_epoch = checkpoint_epoch(ckpt)
             print(f"[train] resumed {ckpt} at step {int(state.step)}, "
                   f"epoch {resume_epoch}")
-    data = os.path.join(args.out, "data", "train")
+    data = os.path.join(getattr(args, "data_from", None) or args.out,
+                        "data", "train")
     dataset = SequenceDataset(os.path.join(data, "input"),
                               os.path.join(data, "gt"),
                               crop=True, crop_size=args.crop)
@@ -363,6 +364,9 @@ def main():
                          "variant train off the same datagen)")
     ap.add_argument("--artifact", default="denoiser_multiscene.npz")
     ap.add_argument("--render-backend", default="xla")
+    ap.add_argument("--data-from", default=None,
+                    help="train on another run's data/ directory (e.g. "
+                         "A/B runs sharing one corpus)")
     ap.add_argument("--stream-gb", type=float, default=0.0,
                     help="host-streamed sharded corpus with this shard "
                          "budget in GiB (0 = off); overrides --device-data")
