@@ -68,7 +68,7 @@ class RenderOptions:
     # hardware-verified tools/hw_bvh_check.py); purely a traversal-work
     # choice.  Statue depth-8 matrix (r4, same-session contention-
     # comparable): v2+octant 3433 -> v2p+octant 3052 -> v2p+cell8 2601.
-    mesh_kernel_impl: str = "v2p"
+    mesh_kernel_impl: str = "auto"
 
     # --- effects (pathtrace.cu:25-28) ---
     antialias: bool = True            # sub-pixel jitter, pathtrace.cu:168-173

@@ -379,6 +379,25 @@ def octant_cell_key(o: Vec3, d: Vec3, dead: jnp.ndarray,
     return jnp.where(dead, jnp.int32(1 << 30), key)
 
 
+def resolve_mesh_impl(mesh: MeshData, impl: str = "auto") -> str:
+    """Resolve the BVH kernel implementation for a mesh.
+
+    "auto" routes by the measured r5 crossover (tools/hw_mesh_sweep.py,
+    docs/MESH_TUNING.md): the binned pair pipeline wins once the mesh has
+    enough bins for cross-tile packing to beat its fixed sort/glue cost
+    (statue, 320 bins: 2.7x over v2p); below that the per-tile v2p kernel
+    wins (icosphere, 2 bins: 4x over binned).  Threshold env-tunable via
+    APTD_BINNED_MIN_BINS.
+    """
+    if impl != "auto":
+        return impl
+    if mesh is None or mesh.bvh is None:
+        return "v2p"
+    import os as _os
+    thresh = int(_os.environ.get("APTD_BINNED_MIN_BINS", "64"))
+    return "binned" if mesh.bvh.n_supers_real >= thresh else "v2p"
+
+
 def intersect_scene_v(geoms: Geoms, mesh: MeshData, o: Vec3, d: Vec3,
                       ray_culling: bool = True, face_chunk: int = 16,
                       types: Optional[Tuple[int, ...]] = None,
@@ -416,6 +435,7 @@ def intersect_scene_v(geoms: Geoms, mesh: MeshData, o: Vec3, d: Vec3,
         if use_bvh is None:
             use_bvh = mesh.bvh is not None
         if use_bvh and mesh.bvh is not None:
+            kernel_impl = resolve_mesh_impl(mesh, kernel_impl)
             if kernel_impl == "binned":
                 from ..render.mesh_binned import mesh_intersect_binned
                 mesh_intersect_bvh = mesh_intersect_binned

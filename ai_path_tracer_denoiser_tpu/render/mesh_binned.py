@@ -386,22 +386,25 @@ def _sortN(key, *ops):
 
 def _binned_core(bvh: MeshBVH, po: Vec3, pd: Vec3, ptc, pidx, slots_a,
                  pcnt, bounds, n: int, lcap: int, lcapb: int,
-                 interpret: bool):
+                 c_a: int, c_b: int, interpret: bool):
     """The packed pipeline on the pre-packed live prefix; caller
     guarantees live <= lcap and overflow <= lcapb (the cond in
     mesh_intersect_binned)."""
     kb = bvh.n_supers_real
 
-    # overflow rays (count > C_A): compact and subscribe again with skip
-    over = pcnt > C_A
-    pa = jnp.arange(lcap, dtype=jnp.int32)
-    opacked = _sortN((~over).astype(jnp.int32),
-                     po.x, po.y, po.z, pd.x, pd.y, pd.z, ptc, pa)
-    bo = Vec3(opacked[0][:lcapb], opacked[1][:lcapb], opacked[2][:lcapb])
-    bd = Vec3(opacked[3][:lcapb], opacked[4][:lcapb], opacked[5][:lcapb])
-    btc = opacked[6][:lcapb]
-    b_pa = opacked[7][:lcapb]                         # packed-prefix position
-    slots_b, _ = _phase1(bo, bd, btc, bounds, kb, C_A, C_B, interpret)
+    if c_b > 0:
+        # overflow rays (count > c_a): compact, subscribe again with skip
+        over = pcnt > c_a
+        pa = jnp.arange(lcap, dtype=jnp.int32)
+        opacked = _sortN((~over).astype(jnp.int32),
+                         po.x, po.y, po.z, pd.x, pd.y, pd.z, ptc, pa)
+        bo = Vec3(opacked[0][:lcapb], opacked[1][:lcapb],
+                  opacked[2][:lcapb])
+        bd = Vec3(opacked[3][:lcapb], opacked[4][:lcapb],
+                  opacked[5][:lcapb])
+        btc = opacked[6][:lcapb]
+        b_pa = opacked[7][:lcapb]                     # packed-prefix position
+        slots_b, _ = _phase1(bo, bd, btc, bounds, kb, c_a, c_b, interpret)
 
     # ---- flatten both tiers into one pair table --------------------------
     def tier(slots, to, td, base):
@@ -414,8 +417,11 @@ def _binned_core(bvh: MeshBVH, po: Vec3, pd: Vec3, ptc, pidx, slots_a,
                 rep(td.x), rep(td.y), rep(td.z), spos)
 
     ta = tier(slots_a, po, pd, 0)
-    tb = tier(slots_b, bo, bd, lcap * C_A)
-    flat = [jnp.concatenate([a, b]) for a, b in zip(ta, tb)]
+    if c_b > 0:
+        tb = tier(slots_b, bo, bd, lcap * c_a)
+        flat = [jnp.concatenate([a, b]) for a, b in zip(ta, tb)]
+    else:
+        flat = list(ta)
     s_total = flat[0].shape[0]
     n_tiles = -(-s_total // LANES)
     pad = n_tiles * LANES - s_total
@@ -467,17 +473,19 @@ def _binned_core(bvh: MeshBVH, po: Vec3, pd: Vec3, ptc, pidx, slots_a,
             fb_ = jnp.where(better, f2[:, j], fb_)
         return tb_, fb_
 
-    na = lcap * C_A
-    t_a, f_a = slot_min(t_u[:na].reshape(lcap, C_A),
-                        f_u[:na].reshape(lcap, C_A))
-    t_b, f_b = slot_min(t_u[na:].reshape(lcapb, C_B),
-                        f_u[na:].reshape(lcapb, C_B))
-
-    # merge tier B into tier A positions (tier A bins are earlier, so A
-    # keeps ties — the scan's lowest-face-index rule)
-    t_m = t_a.at[b_pa].min(t_b)
-    tb_wins = (t_b < _INF) & (t_b == t_m[b_pa]) & (t_b < t_a[b_pa])
-    f_m = f_a.at[b_pa].set(jnp.where(tb_wins, f_b, f_a[b_pa]))
+    na = lcap * c_a
+    t_a, f_a = slot_min(t_u[:na].reshape(lcap, c_a),
+                        f_u[:na].reshape(lcap, c_a))
+    if c_b > 0:
+        t_b, f_b = slot_min(t_u[na:].reshape(lcapb, c_b),
+                            f_u[na:].reshape(lcapb, c_b))
+        # merge tier B into tier A positions (tier A bins are earlier, so
+        # A keeps ties — the scan's lowest-face-index rule)
+        t_m = t_a.at[b_pa].min(t_b)
+        tb_wins = (t_b < _INF) & (t_b == t_m[b_pa]) & (t_b < t_a[b_pa])
+        f_m = f_a.at[b_pa].set(jnp.where(tb_wins, f_b, f_a[b_pa]))
+    else:
+        t_m, f_m = t_a, f_a
 
     # winner recompute: exact per-face MT on the gathered face row
     safe = jnp.maximum(f_m, 0.0).astype(jnp.int32)
@@ -566,6 +574,12 @@ def mesh_intersect_binned(bvh: MeshBVH, o: Vec3, d: Vec3,
     bounds = bvh.super_bounds        # always an 8-row multiple >= kb; the
     # kernel loops k < kb so padding rows are never read
 
+    # Slot widths clamp to the bin count: a ray cannot subscribe to more
+    # bins than exist, so small meshes carry no slot slack and (when
+    # c_a + c_b == kb) can never overflow to the fallback.
+    c_a = min(C_A, kb)
+    c_b = min(C_B, kb - c_a)
+
     # Pre-pack by the cheap whole-mesh dead flag (t_cull == -inf encodes
     # AABB-miss | inactive) BEFORE the subscription kernel: live rays are
     # <= 25% of the batch on the measured scenes, so phase 1 runs on the
@@ -592,7 +606,7 @@ def mesh_intersect_binned(bvh: MeshBVH, o: Vec3, d: Vec3,
         del o_, d_, tc
         po_, pd_, ptc_, pidx_, slts, cnts = args[3:]
         return _binned_core(bvh, po_, pd_, ptc_, pidx_, slts, cnts, bounds,
-                            n, lcap, lcapb, interpret)
+                            n, lcap, lcapb, c_a, c_b, interpret)
 
     def slow(args):
         from .mesh_kernel_v2p import mesh_intersect_bvh_v2p

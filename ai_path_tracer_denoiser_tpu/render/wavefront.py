@@ -45,7 +45,7 @@ import jax.numpy as jnp
 from ..config import RenderOptions
 from ..ops.bsdf import scatter_ray_v
 from ..ops.intersect import (intersect_scene_v, octant_cell_key,
-                             ray_aabb_intersect_v)
+                             ray_aabb_intersect_v, resolve_mesh_impl)
 from ..ops.rng import draw_uniforms
 from ..ops.vec3 import Vec3, where as vwhere
 from ..scene.structs import Camera, Geoms, Scene
@@ -344,7 +344,9 @@ def trace_iteration(scene: Scene, options: RenderOptions,
     # outer coherence permutation would be pure overhead there)
     carry_sort = (options.mesh_octant_sort and use_bvh
                   and scene.mesh.num_faces > 0 and scene.mesh.bvh is not None
-                  and options.mesh_kernel_impl != "binned")
+                  and resolve_mesh_impl(scene.mesh,
+                                        options.mesh_kernel_impl)
+                  != "binned")
 
     def _octant_carry_sort(carry):
         ray_o, ray_d, color, remaining, pixel_index = carry
