@@ -561,12 +561,16 @@ def mesh_intersect_binned(bvh: MeshBVH, o: Vec3, d: Vec3,
     n = o.x.shape[0]
     if t_cull is None:
         t_cull = jnp.full((n,), _INF)
+    # Defaults target the many-bin regime the auto-router sends here
+    # (>= 64 bins): live rays <= N/4 and overflow (>C_A bins) <= N/16 on
+    # the measured statue-class workloads; low-bin scenes with higher
+    # live fractions route to v2p before these caps matter.
     lcap = int(lcap if lcap is not None
                else int(os.environ.get("APTD_BINNED_LCAP", "0")) or
-               max(LANES, -(-(n // 3) // LANES) * LANES))
+               max(LANES, -(-(n // 4) // LANES) * LANES))
     lcapb = int(lcapb if lcapb is not None
                 else int(os.environ.get("APTD_BINNED_LCAPB", "0")) or
-                max(LANES, -(-(n // 12) // LANES) * LANES))
+                max(LANES, -(-(n // 16) // LANES) * LANES))
     lcap = min(lcap, n)
     lcapb = min(lcapb, lcap)
 
