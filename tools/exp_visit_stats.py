@@ -158,9 +158,10 @@ def main():
 
     print(f"\nTOTALS: tile-visits={total_visits_tile} "
           f"sub128-visits={total_visits_sub} ray-cluster pairs={total_pairs}")
-    print(f"tile-visit MT pairs = {total_visits_tile * 1024 * 32:.3e}")
-    print(f"sub-visit  MT pairs = {total_visits_sub * 128 * 32:.3e}")
-    print(f"per-ray    MT pairs = {total_pairs * 32:.3e} "
+    cw = scene.mesh.bvh.cluster if scene.mesh.bvh else 32
+    print(f"tile-visit MT pairs = {total_visits_tile * 1024 * cw:.3e}")
+    print(f"sub-visit  MT pairs = {total_visits_sub * 128 * cw:.3e}")
+    print(f"per-ray    MT pairs = {total_pairs * cw:.3e} "
           f"(binning floor; ratio vs tile = "
           f"{total_visits_tile * 1024 / max(total_pairs, 1):.1f}x)")
 
