@@ -154,3 +154,36 @@ def test_binned_in_wavefront_render():
     # slightly wider bound
     np.testing.assert_allclose(np.asarray(img_scan), np.asarray(img_bin),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_phase1_kernel_matches_xla_oracle():
+    """The Pallas subscription kernel == the independent XLA bitmask
+    formulation (_subscribe_bits + _peel_slots), slot for slot."""
+    from ai_path_tracer_denoiser_tpu.ops.bvh import _DEAD_ROW
+    from ai_path_tracer_denoiser_tpu.render.mesh_binned import (
+        _DEADKEY, _peel_slots, _phase1, _subscribe_bits)
+
+    mesh = soup_mesh(1024, seed=3)
+    bvh = mesh.bvh
+    kb = bvh.n_supers_real
+    o, d = rays(4096, seed=8)
+    rng = np.random.default_rng(9)
+    tc = jnp.asarray(rng.uniform(0.5, 25.0, 4096).astype(np.float32))
+    tc = tc.at[::7].set(-np.inf)
+
+    slots_k, counts_k = _phase1(o, d, tc, bvh.super_bounds, kb, 0, 6,
+                                interpret=INTERP)
+
+    n_words = -(-kb // 32)
+    need = n_words * 32
+    bounds = jnp.concatenate(
+        [bvh.super_bounds,
+         jnp.tile(jnp.asarray(_DEAD_ROW),
+                  (max(0, need - bvh.super_bounds.shape[0]), 1))])[:need]
+    words, counts_x = _subscribe_bits(o, d, tc, bounds, n_words)
+    slots_x, _ = _peel_slots(words, 6)
+
+    np.testing.assert_array_equal(np.asarray(counts_k),
+                                  np.asarray(counts_x))
+    np.testing.assert_array_equal(np.asarray(slots_k), np.asarray(slots_x))
+    assert int(np.asarray(counts_k).max()) > 0   # the case is non-trivial
