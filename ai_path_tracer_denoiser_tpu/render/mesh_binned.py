@@ -73,8 +73,13 @@ _DEADKEY = 1 << 20              # sorts past every real bin id
 
 
 # ---------------------------------------------------------------------------
-# Phase 1: subscription bitmasks
+# Phase 1 (oracle): XLA subscription bitmasks
 # ---------------------------------------------------------------------------
+#
+# Independent formulation kept as the Pallas kernel's test oracle
+# (tests/test_binned.py::test_phase1_kernel_matches_xla_oracle).  Not the
+# production path: XLA materializes a plane per intermediate x bin
+# (measured 41 + 26 ms/bounce on the statue vs the kernel's ~8 ms).
 
 def _subscribe_bits(o: Vec3, d: Vec3, t_cull: jnp.ndarray,
                     bounds: jnp.ndarray, n_words: int):
