@@ -117,6 +117,14 @@ def stage_train(args):
                               os.path.join(data, "gt"),
                               crop=True, crop_size=args.crop)
     steps_per_epoch = max(1, len(dataset) // args.batch)
+    if resume_epoch is not None and resume_epoch >= 10 ** 9:
+        # 'final' sentinel: the checkpointed schedule completed; derive
+        # the true epoch from the step count so --epochs can EXTEND the
+        # run instead of silently training zero epochs (the cli.py
+        # resume already handles this; the pipeline now does too)
+        resume_epoch = int(state.step) // steps_per_epoch
+        print(f"[train] 'final' checkpoint: resuming extension at epoch "
+              f"{resume_epoch}")
     start_epoch = resume_epoch
     if start_epoch is None:
         start_epoch = int(state.step) // steps_per_epoch
