@@ -71,3 +71,19 @@ def cornell_scene_small():
                         np.asarray(scene.camera.look_at),
                         np.asarray(scene.camera.up))
     return dataclasses.replace(scene, camera=cam, iterations=8)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_per_module():
+    """Drop compiled-executable references between test modules.
+
+    The full suite accumulates every jitted executable it ever built;
+    under that memory pressure XLA:CPU's compiler segfaulted twice in a
+    row (r5) while compiling test_scene_corpus's blob render — the same
+    test passes standalone.  Releasing executables at module boundaries
+    keeps peak RSS bounded; warm recompiles still hit the persistent
+    cache on disk.
+    """
+    yield
+    import jax
+    jax.clear_caches()
